@@ -1,0 +1,230 @@
+"""Typed, immutable configuration tree.
+
+Replaces the reference's global mutable-then-frozen ``AttrDict`` cfg +
+~90-flag argparse soup (reference: config.py:47-383, train.py:62-271) with
+plain frozen dataclasses. There is no global state: a ``Config`` instance is
+constructed once (from YAML/CLI or in code) and passed explicitly. Values
+that the reference mutates mid-run (``cfg.EPOCH`` for label relaxation,
+config.py:364-368) are instead carried as explicit step state in the train
+loop.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+
+def _freeze(value):
+    if isinstance(value, list):
+        return tuple(_freeze(v) for v in value)
+    return value
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    """Dataset selection and host-pipeline knobs (reference: config.py:76-117)."""
+
+    name: str = "cityscapes"
+    num_classes: int = 19
+    ignore_label: int = 255
+    # ImageNet normalization, shared by all trunks (reference: config.py:96-97)
+    mean: Sequence[float] = (0.485, 0.456, 0.406)
+    std: Sequence[float] = (0.229, 0.224, 0.225)
+    crop_size: Sequence[int] = (1024, 2048)  # (H, W)
+    # class-uniform sampling (reference: config.py:102-103, datasets/uniform.py)
+    class_uniform_pct: float = 0.5
+    class_uniform_tile: int = 1024
+    coarse_boost_classes: Sequence[int] | None = None
+    custom_coarse_prob: float | None = None
+    cv: int = 0
+    cv_splits: int = 3
+    # data roots
+    cityscapes_dir: str = ""
+    cityscapes_customcoarse: str = ""
+    mapillary_dir: str = ""
+    centroid_root: str = ""
+    translate_aug_fix: bool = False
+    mapillary_crop_val: bool = False
+    dump_images: bool = False
+
+
+@dataclass(frozen=True)
+class OCRConfig:
+    """OCR head channel widths (reference: config.py:158-160)."""
+
+    mid_channels: int = 512
+    key_channels: int = 256
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture + numeric-policy knobs (reference: config.py:119-148).
+
+    ``arch`` strings follow the reference registry convention
+    ("ocrnet.HRNet_Mscale", "deepv3.DeepWV3Plus", ... —
+    network/__init__.py:45-54); resolution happens in
+    :mod:`tpuseg.models`.
+    """
+
+    arch: str = "ocrnet.HRNet_Mscale"
+    ocr: OCRConfig = field(default_factory=OCRConfig)
+    # bilinear resize convention, global (reference: config.py:127)
+    align_corners: bool = False
+    # multi-scale attention
+    mscale_lo_scale: float = 0.5      # train-time low scale (config.py:128)
+    n_scales: Sequence[float] | None = None  # inference scales (config.py:126)
+    mscale_inner_3x3: bool = True     # extra 3x3 in attn head (config.py:133)
+    mscale_dropout: bool = False      # dropout in attn head (config.py:134)
+    mscale_init: float = 0.5          # initial attention bias (config.py:136)
+    mscale_cat_scale_flt: bool = False
+    ocr_aspp: bool = False            # ASPP inside OCR (config.py:129)
+    segattn_bot_ch: int = 256         # seg/attn head bottleneck (config.py:130)
+    aspp_bot_ch: int = 256            # ASPP bottleneck (config.py:131)
+    attnscale_bn_head: bool = False
+    three_scale: bool = False
+    alt_two_scale: bool = False
+    extra_scales: Sequence[float] = (0.5, 1.5)
+    # norm behavior: cross-replica (sync) batch statistics via lax.pmean over
+    # the data mesh axis — the TPU-native equivalent of apex SyncBatchNorm
+    # (reference: config.py:216-225).
+    sync_bn: bool = True
+    bn_momentum: float = 0.9          # flax convention: ema = m*ema + (1-m)*batch
+    bn_eps: float = 1e-5
+    # numeric policy: params in f32, compute in bf16 (replaces apex AMP O1,
+    # reference: train.py:380-381). Per-op f32 islands are hard-coded where
+    # the reference used @amp.float_function (resize, attention softmax).
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+    # rematerialization of trunk stages — the reference's dead --grad_ckpt
+    # flag (config.py:355-356) made live: needed for 1024x2048 crops.
+    remat: bool = True
+    # pallas kernels on the hot path (OCR attention fusion)
+    use_pallas: bool = True
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss selection + weights (reference: config.py:150-156, loss/utils.py:40-67)."""
+
+    loss_type: str = "ce"             # ce | rmi | img_wt | relaxed
+    ocr_alpha: float = 0.4            # aux-loss weight (config.py:152)
+    ocr_aux_rmi: bool = False         # use RMI for aux loss (config.py:154)
+    supervised_mscale_wt: float = 0.0  # direct mscale supervision (config.py:156)
+    img_wt_bound: float = 1.0         # upper bound for image-weighted CE
+    batch_weighting: bool = False     # batch (vs per-image) class weighting
+    # label relaxation (reference: config.py:55-62)
+    border_window: int = 1
+    reduce_border_epoch: int = -1
+    strict_border_classes: Sequence[int] | None = None
+    # RMI numerics: TPU has no f64; the covariance/Cholesky path runs in f32
+    # with a larger diagonal jitter (validated in tests/test_rmi.py).
+    rmi_radius: int = 3
+    rmi_pool_size: int = 4
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer + LR schedule (reference: loss/optimizer.py:43-98)."""
+
+    optimizer: str = "sgd"            # sgd | adam | radam
+    lr: float = 5e-3
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    amsgrad: bool = False
+    lr_schedule: str = "poly"         # poly | poly2 | scl-poly
+    poly_exp: float = 2.0
+    poly_step: int = 110              # for scl-poly warm restart
+    rescale_lr: float = 1.0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    max_epoch: int = 175
+    batch_size: int = 8               # global batch (split across data axis)
+    val_freq: int = 1
+    rmi_loss_first_epoch_off: bool = False
+    seed: int = 0
+    log_every: int = 20
+    # checkpointing
+    checkpoint_dir: str = "ckpt"
+    keep_checkpoints: int = 2
+    resume: str | None = None         # full resume: params+opt+epoch
+    snapshot: str | None = None       # weights-only warm start
+    test_mode: bool = False           # truncate epochs/iters for smoke tests
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Inference-time options (reference: utils/trnval_utils.py:82-198)."""
+
+    scales: Sequence[float] = (0.5, 1.0, 2.0)
+    do_flip: bool = False
+    # extra avg-pooled scales applied *outside* the attention fusion
+    extra_scales: Sequence[float] = ()
+    dump_assets: bool = False
+    dump_all_images: bool = False
+    dump_for_auto_labelling: bool = False
+    dump_for_submission: bool = False
+    result_dir: str | None = None
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. The reference has DP only (SURVEY §2.8); we keep a
+    named `data` axis, with room for a `model` axis for spatial sharding."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallelism: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _apply_overrides(obj, overrides: Mapping[str, Any]):
+    """Apply a flat {'a.b.c': v} or nested {'a': {'b': v}} override mapping."""
+    updates: dict[str, Any] = {}
+    nested: dict[str, dict] = {}
+    for key, val in overrides.items():
+        if "." in key:
+            head, rest = key.split(".", 1)
+            nested.setdefault(head, {})[rest] = val
+        elif isinstance(val, Mapping) and dataclasses.is_dataclass(
+            getattr(obj, key, None)
+        ):
+            nested.setdefault(key, {}).update(val)
+        else:
+            updates[key] = _freeze(val)
+    for head, sub in nested.items():
+        updates[head] = _apply_overrides(getattr(obj, head), sub)
+    return dataclasses.replace(obj, **updates)
+
+
+def make_config(overrides: Mapping[str, Any] | None = None) -> Config:
+    """Build a Config with optional dotted-path overrides.
+
+    >>> cfg = make_config({"model.arch": "deepv3.DeepWV3Plus", "optim.lr": 1e-2})
+    """
+    cfg = Config()
+    if overrides:
+        cfg = _apply_overrides(cfg, overrides)
+    return cfg
+
+
+def infer_mscale(cfg: Config) -> bool:
+    """Whether the arch is a multi-scale-attention model
+    (reference: config.py:269-270)."""
+    arch = cfg.model.arch.lower()
+    return "mscale" in arch or "attnscale" in arch

@@ -1,0 +1,151 @@
+"""Bilinear / nearest resize with exact PyTorch coordinate semantics.
+
+The reference stacks many ``F.interpolate(mode='bilinear')`` calls
+(trunk fusion, OCR upsampling, multi-scale attention fusion — reference:
+network/mynn.py:43-114, network/hrnetv2.py:440-445) and its mIoU is
+sensitive to sub-pixel coordinate conventions (SURVEY §7 "hard parts" #1).
+``jax.image.resize`` implements the half-pixel convention but neither
+torch's ``align_corners=True`` nor its negative-coordinate clamping, so we
+implement the resize directly as a separable two-neighbor gather + lerp.
+
+Coordinate mapping (per axis), matching torch's
+``area_pixel_compute_source_index``:
+
+- ``align_corners=False``:  ``src = (dst + 0.5) * in/out - 0.5``, clamped
+  below at 0.
+- ``align_corners=True``:   ``src = dst * (in-1)/(out-1)`` (0 if out == 1).
+
+Then ``i0 = floor(src)``, ``i1 = min(i0+1, in-1)``, ``w1 = src - i0``.
+
+Because output sizes are static under jit, the gather indices and lerp
+weights are compile-time constants; XLA lowers each axis to a cheap gather
+(O(out) memory traffic, no MXU work). Interpolation runs in float32 and is
+cast back — the fp32-island the reference creates with
+``@amp.float_function`` (network/mynn.py:42-58).
+
+Scale-factor resizes replicate ``recompute_scale_factor=True``
+(network/mynn.py:102-114): output size is ``floor(in * scale)`` and the
+coordinate mapping uses the *recomputed* in/out ratio, i.e. they are exactly
+size-based resizes.
+
+All tensors are NHWC.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _source_coords(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    if align_corners:
+        if out_size == 1:
+            return np.zeros((1,), dtype=np.float64)
+        return np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    src = (np.arange(out_size, dtype=np.float64) + 0.5) * in_size / out_size - 0.5
+    return np.maximum(src, 0.0)
+
+
+def _lerp_axis(x: jnp.ndarray, axis: int, out_size: int, align_corners: bool):
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    src = _source_coords(in_size, out_size, align_corners)
+    i0 = np.minimum(np.floor(src).astype(np.int64), in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    w1 = (src - i0).astype(np.float32)
+
+    x0 = jnp.take(x, jnp.asarray(i0), axis=axis)
+    x1 = jnp.take(x, jnp.asarray(i1), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w1 = jnp.asarray(w1).reshape(shape)
+    return x0 + (x1 - x0) * w1
+
+
+def resize_bilinear(
+    x: jnp.ndarray,
+    size: tuple[int, int],
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Bilinear resize of NHWC (or HWC) ``x`` to ``size=(H, W)``.
+
+    Bit-matches ``torch.nn.functional.interpolate(mode='bilinear')`` on the
+    same input (see tests/test_resize.py). Computation is float32.
+    """
+    out_h, out_w = int(size[0]), int(size[1])
+    orig_dtype = x.dtype
+    h_axis = x.ndim - 3
+    w_axis = x.ndim - 2
+    y = x.astype(jnp.float32)
+    y = _lerp_axis(y, h_axis, out_h, align_corners)
+    y = _lerp_axis(y, w_axis, out_w, align_corners)
+    return y.astype(orig_dtype)
+
+
+def resize_nearest(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """Nearest resize of NHWC (or HWC) ``x``; matches torch ``mode='nearest'``
+    (``src = floor(dst * in/out)``)."""
+    out_h, out_w = int(size[0]), int(size[1])
+    h_axis, w_axis = x.ndim - 3, x.ndim - 2
+
+    def _idx(in_size, out_size):
+        src = np.floor(np.arange(out_size, dtype=np.float64) * in_size / out_size)
+        return jnp.asarray(np.minimum(src.astype(np.int64), in_size - 1))
+
+    y = jnp.take(x, _idx(x.shape[h_axis], out_h), axis=h_axis)
+    y = jnp.take(y, _idx(y.shape[w_axis], out_w), axis=w_axis)
+    return y
+
+
+def resize_x(x: jnp.ndarray, scale: float, align_corners: bool = False) -> jnp.ndarray:
+    """Scale-factor bilinear resize, torch ``recompute_scale_factor=True``
+    semantics (reference: network/mynn.py:102-114): out = floor(in * scale)."""
+    h_axis, w_axis = x.ndim - 3, x.ndim - 2
+    out_h = int(math.floor(x.shape[h_axis] * scale))
+    out_w = int(math.floor(x.shape[w_axis] * scale))
+    return resize_bilinear(x, (out_h, out_w), align_corners)
+
+
+def scale_as(x: jnp.ndarray, y: jnp.ndarray, align_corners: bool = False) -> jnp.ndarray:
+    """Resize ``x`` to the spatial size of ``y`` (reference: network/mynn.py:70-84)."""
+    h_axis, w_axis = y.ndim - 3, y.ndim - 2
+    return resize_bilinear(x, (y.shape[h_axis], y.shape[w_axis]), align_corners)
+
+
+def avg_pool2d(x: jnp.ndarray, window: int, stride: int | None = None,
+               padding: int = 0) -> jnp.ndarray:
+    """count_include_pad average pool over NHWC, matching torch
+    ``F.avg_pool2d`` defaults (used by the RMI loss downsample,
+    reference: loss/rmi.py:154-155)."""
+    import jax
+
+    stride = stride or window
+    y = jax.lax.reduce_window(
+        x.astype(jnp.float32),
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+    return (y / float(window * window)).astype(x.dtype)
+
+
+def max_pool2d(x: jnp.ndarray, window: int, stride: int | None = None,
+               padding: int = 0) -> jnp.ndarray:
+    """Max pool over NHWC matching torch ``F.max_pool2d``."""
+    import jax
+
+    stride = stride or window
+    neg = jnp.finfo(jnp.float32).min
+    return jax.lax.reduce_window(
+        x.astype(jnp.float32),
+        neg,
+        jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    ).astype(x.dtype)
