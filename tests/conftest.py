@@ -5,12 +5,19 @@ SPMD/sharding tests exercise real collectives without TPU hardware
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The harness pins JAX_PLATFORMS=axon (real TPU) and its sitecustomize
+# re-asserts it at registration time, so the env var alone is not enough —
+# override via jax.config before any backend is touched.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,132 @@
+"""Object-Contextual Representation (OCR) attention head in flax.
+
+Math per the reference (network/ocr_utils.py, network/ocrnet.py:42-91):
+
+1. SpatialGather — class-probability-weighted feature pooling:
+   ``context[b,k,c] = sum_n softmax_n(aux_logits)[b,n,k] * feats[b,n,c]``
+   i.e. one (K x N) @ (N x C) matmul per image.
+2. ObjectAttention — pixel-query vs class-key/value attention with
+   ``1/sqrt(d)`` scaling and softmax over the K (=num_classes) proxies.
+3. SpatialOCR — concat(context, feats) -> 1x1 bottleneck -> dropout.
+
+TPU notes: the attention is two batched matmuls over a tiny K axis (19/65
+classes); softmax runs in f32 (the fp32-island the reference gets from AMP
+O1 keeping softmax in f32). Everything stays NHWC/flattened-N so the MXU
+sees (N x K)·(K x C) shapes.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tpuseg.models.layers import ConvNormAct, Norm, conv
+
+Dtype = Any
+
+
+def spatial_gather(feats: jnp.ndarray, probs: jnp.ndarray) -> jnp.ndarray:
+    """Soft class-region pooling (reference: ocr_utils.py:34-46).
+
+    Args:
+      feats: (B, H, W, C) pixel features.
+      probs: (B, H, W, K) class logits (aux head output).
+    Returns:
+      (B, K, C) per-class context vectors.
+    """
+    b, h, w, c = feats.shape
+    k = probs.shape[-1]
+    f = feats.reshape(b, h * w, c)
+    p = probs.reshape(b, h * w, k).astype(jnp.float32)
+    p = nn.softmax(p, axis=1)  # softmax over pixels, per class
+    return jnp.einsum("bnk,bnc->bkc", p.astype(feats.dtype), f,
+                      preferred_element_type=jnp.float32).astype(feats.dtype)
+
+
+class ObjectAttention(nn.Module):
+    """Pixel-query / class-proxy attention (reference: ocr_utils.py:49-119)."""
+
+    key_channels: int
+    out_channels: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, proxy, train: bool = False):
+        """x: (B, H, W, C) pixel feats; proxy: (B, K, C) class context."""
+        b, h, w, c = x.shape
+        kc = self.key_channels
+        proxy_img = proxy[:, :, None, :]  # (B, K, 1, C): 1x1 convs over classes
+
+        # f_pixel: two 1x1 conv+BN+relu (query)
+        q = ConvNormAct(kc, 1, dtype=self.dtype, name="f_pixel0")(x, train)
+        q = ConvNormAct(kc, 1, dtype=self.dtype, name="f_pixel1")(q, train)
+        # f_object: two 1x1 conv+BN+relu (key)
+        key = ConvNormAct(kc, 1, dtype=self.dtype, name="f_object0")(proxy_img, train)
+        key = ConvNormAct(kc, 1, dtype=self.dtype, name="f_object1")(key, train)
+        # f_down: one 1x1 conv+BN+relu (value)
+        val = ConvNormAct(kc, 1, dtype=self.dtype, name="f_down")(proxy_img, train)
+
+        q = q.reshape(b, h * w, kc)
+        key = key.reshape(b, -1, kc)
+        val = val.reshape(b, -1, kc)
+
+        sim = jnp.einsum("bnk,bmk->bnm", q, key,
+                         preferred_element_type=jnp.float32)
+        sim = sim * (kc ** -0.5)
+        sim = nn.softmax(sim.astype(jnp.float32), axis=-1)  # over K classes
+
+        context = jnp.einsum("bnm,bmk->bnk", sim.astype(val.dtype), val,
+                             preferred_element_type=jnp.float32)
+        context = context.astype(self.dtype).reshape(b, h, w, kc)
+        # f_up: 1x1 conv+BN+relu back to C
+        return ConvNormAct(self.out_channels, 1, dtype=self.dtype,
+                           name="f_up")(context, train)
+
+
+class SpatialOCR(nn.Module):
+    """Distribute class context back to pixels (reference: ocr_utils.py:122-158)."""
+
+    key_channels: int
+    out_channels: int
+    dropout: float = 0.05
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats, proxy, train: bool = False):
+        context = ObjectAttention(self.key_channels, feats.shape[-1],
+                                  dtype=self.dtype,
+                                  name="object_context")(feats, proxy, train)
+        y = jnp.concatenate([context, feats], axis=-1)
+        y = ConvNormAct(self.out_channels, 1, dtype=self.dtype,
+                        name="conv_bn")(y, train)
+        return nn.Dropout(self.dropout, deterministic=not train)(y)
+
+
+class OCRBlock(nn.Module):
+    """conv3x3 -> gather -> distribute -> cls head, plus aux head off the
+    trunk features (reference: network/ocrnet.py:42-91)."""
+
+    num_classes: int
+    mid_channels: int = 512
+    key_channels: int = 256
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, high_level_features, train: bool = False):
+        feats = ConvNormAct(self.mid_channels, 3, dtype=self.dtype,
+                            name="conv3x3_ocr")(high_level_features, train)
+
+        # aux head: 1x1 conv+BN+relu -> 1x1 classifier (with bias)
+        aux = ConvNormAct(high_level_features.shape[-1], 1, dtype=self.dtype,
+                          name="aux0")(high_level_features, train)
+        aux_out = conv(self.num_classes, 1, use_bias=True, dtype=self.dtype,
+                       name="aux_cls")(aux)
+
+        context = spatial_gather(feats, aux_out)
+        ocr_feats = SpatialOCR(self.key_channels, self.mid_channels,
+                               dtype=self.dtype,
+                               name="ocr_distri")(feats, context, train)
+        cls_out = conv(self.num_classes, 1, use_bias=True, dtype=self.dtype,
+                       name="cls")(ocr_feats)
+        return cls_out, aux_out, ocr_feats

@@ -1,0 +1,142 @@
+"""OCRNet and the flagship hierarchical multi-scale attention model.
+
+Reference: network/ocrnet.py. Differences by design (TPU-first):
+- the loss is NOT inside the model (the reference embeds the criterion so
+  DataParallel gathers a scalar, ocrnet.py:113-122); models return logits
+  dicts and losses are pure functions in :mod:`tpuseg.losses`;
+- multi-scale fusion is delegated to the pure combinators in
+  :mod:`tpuseg.models.mscale_core`.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tpuseg.models.hrnet import HRNetSpec, HRNetV2, W48_SPEC, TINY_SPEC
+from tpuseg.models.layers import AttnHead
+from tpuseg.models.mscale_core import nscale_fuse, two_scale_fuse
+from tpuseg.models.ocr import OCRBlock
+from tpuseg.ops import scale_as
+
+Dtype = Any
+
+
+class OCRNet(nn.Module):
+    """trunk -> OCR -> cls+aux, upsampled to input size
+    (reference: network/ocrnet.py:94-122)."""
+
+    num_classes: int
+    spec: HRNetSpec = W48_SPEC
+    mid_channels: int = 512
+    key_channels: int = 256
+    align_corners: bool = False
+    remat: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    def setup(self):
+        self.backbone = HRNetV2(self.spec, self.align_corners, self.remat,
+                                self.dtype, name="backbone")
+        self.ocr = OCRBlock(self.num_classes, self.mid_channels,
+                            self.key_channels, self.dtype, name="ocr")
+
+    def __call__(self, x, train: bool = False):
+        _, _, high = self.backbone(x, train)
+        cls_out, aux_out, _ = self.ocr(high, train)
+        return {
+            "pred": scale_as(cls_out, x, self.align_corners).astype(jnp.float32),
+            "aux": scale_as(aux_out, x, self.align_corners).astype(jnp.float32),
+        }
+
+
+class MscaleOCR(nn.Module):
+    """Hierarchical multi-scale attention over HRNet-OCR — "the" model
+    (reference: network/ocrnet.py:158-334).
+
+    Train: fused 0.5x + 1.0x two-scale forward.
+    Eval: chained n-scale fusion over ``n_scales`` (default {0.5, 1.0, 2.0}).
+    """
+
+    num_classes: int
+    spec: HRNetSpec = W48_SPEC
+    mid_channels: int = 512
+    key_channels: int = 256
+    n_scales: Sequence[float] = (0.5, 1.0, 2.0)
+    lo_scale: float = 0.5
+    align_corners: bool = False
+    attn_bot_ch: int = 256
+    attn_inner_3x3: bool = True
+    attn_dropout: bool = False
+    remat: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    def setup(self):
+        self.backbone = HRNetV2(self.spec, self.align_corners, self.remat,
+                                self.dtype, name="backbone")
+        self.ocr = OCRBlock(self.num_classes, self.mid_channels,
+                            self.key_channels, self.dtype, name="ocr")
+        self.scale_attn = AttnHead(out_ch=1, bot_ch=self.attn_bot_ch,
+                                   inner_3x3=self.attn_inner_3x3,
+                                   dropout=self.attn_dropout,
+                                   dtype=self.dtype, name="scale_attn")
+
+    def single_scale(self, x, train: bool = False):
+        """One full trunk+OCR+attention pass, outputs at input resolution
+        (reference _fwd: ocrnet.py:170-183)."""
+        _, _, high = self.backbone(x, train)
+        cls_out, aux_out, ocr_mid = self.ocr(high, train)
+        attn = self.scale_attn(ocr_mid, train)
+        size = x.shape[-3:-1]
+        return {
+            "cls_out": scale_as(cls_out.astype(jnp.float32), x, self.align_corners),
+            "aux_out": scale_as(aux_out.astype(jnp.float32), x, self.align_corners),
+            "logit_attn": scale_as(attn, x, self.align_corners),
+        }
+
+    def __call__(self, x, train: bool = False):
+        fwd = lambda xi: self.single_scale(xi, train)
+        if not train and self.n_scales:
+            return nscale_fuse(fwd, x, self.n_scales, self.align_corners)
+        return two_scale_fuse(fwd, x, self.lo_scale, self.align_corners)
+
+
+def _common(cfg):
+    return dict(
+        num_classes=cfg.dataset.num_classes,
+        mid_channels=cfg.model.ocr.mid_channels,
+        key_channels=cfg.model.ocr.key_channels,
+        align_corners=cfg.model.align_corners,
+        remat=cfg.model.remat,
+        dtype=jnp.dtype(cfg.model.compute_dtype),
+    )
+
+
+def HRNet(cfg):
+    """Factory: plain HRNet-OCR (reference: ocrnet.py:337-338)."""
+    return OCRNet(spec=W48_SPEC, **_common(cfg))
+
+
+def HRNet_Mscale(cfg):
+    """Factory: HRNet-OCR + multi-scale attention (reference: ocrnet.py:341-342)."""
+    return MscaleOCR(
+        spec=W48_SPEC,
+        n_scales=tuple(cfg.model.n_scales or ()),
+        lo_scale=cfg.model.mscale_lo_scale,
+        attn_bot_ch=cfg.model.segattn_bot_ch,
+        attn_inner_3x3=cfg.model.mscale_inner_3x3,
+        attn_dropout=cfg.model.mscale_dropout,
+        **_common(cfg),
+    )
+
+
+def HRNet_Mscale_Tiny(cfg):
+    """Tiny-width variant for smoke tests and CI."""
+    return MscaleOCR(
+        spec=TINY_SPEC,
+        n_scales=tuple(cfg.model.n_scales or ()),
+        lo_scale=cfg.model.mscale_lo_scale,
+        attn_bot_ch=16,
+        attn_inner_3x3=cfg.model.mscale_inner_3x3,
+        **{**_common(cfg), "mid_channels": 32, "key_channels": 16},
+    )
