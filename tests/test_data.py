@@ -1,0 +1,204 @@
+"""Host data pipeline: fake on-disk Cityscapes tree -> batches."""
+import json
+import os
+import random
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tpuseg.config import make_config
+from tpuseg.data.joint_transforms import (
+    JointCompose,
+    RandomHorizontallyFlip,
+    RandomSizeAndCrop,
+    Scale,
+)
+from tpuseg.data.randaugment import RandAugment
+from tpuseg.data.relaxed_labels import find_boundaries_thick, relaxed_onehot
+from tpuseg.data.sampler import ShardedEpochSampler
+from tpuseg.data.setup import setup_data
+from tpuseg.data.uniform import build_epoch, class_centroids_image
+
+H, W = 128, 256
+
+
+@pytest.fixture(scope="module")
+def fake_cityscapes(tmp_path_factory):
+    """leftImg8bit/gtFine tree: 2 train cities x 2 images, 1 val city."""
+    root = tmp_path_factory.mktemp("cs")
+    rng = np.random.RandomState(0)
+    for split, cities in [("train", ["aachen", "bochum"]), ("val", ["lindau"])]:
+        for city in cities:
+            img_dir = root / "leftImg8bit_trainvaltest/leftImg8bit" / split / city
+            msk_dir = root / "gtFine_trainvaltest/gtFine" / split / city
+            img_dir.mkdir(parents=True, exist_ok=True)
+            msk_dir.mkdir(parents=True, exist_ok=True)
+            for i in range(2):
+                base = f"{city}_{i:06d}_000019"
+                img = rng.randint(0, 255, (H, W, 3), dtype=np.uint8)
+                Image.fromarray(img).save(
+                    img_dir / f"{base}_leftImg8bit.png")
+                # raw label ids: road(7), car(26), sky(23), void(0)
+                mask = np.zeros((H, W), np.uint8)
+                mask[H // 2:, :] = 7
+                mask[:H // 4, :] = 23
+                mask[60:90, 100:180] = 26
+                Image.fromarray(mask).save(
+                    msk_dir / f"{base}_gtFine_labelIds.png")
+    return str(root)
+
+
+def _cfg(fake_root, tmp, **over):
+    base = {
+        "dataset.cityscapes_dir": fake_root,
+        "dataset.centroid_root": os.path.join(tmp, "centroids"),
+        "dataset.crop_size": (64, 64),
+        "dataset.class_uniform_tile": 64,
+        "dataset.num_workers": 2,
+        "train.batch_size": 2,
+    }
+    base.update(over)
+    return make_config(base)
+
+
+def test_train_pipeline_end_to_end(fake_cityscapes, tmp_path):
+    cfg = _cfg(fake_cityscapes, str(tmp_path))
+    train_loader, val_loader, train_set = setup_data(cfg)
+    assert len(train_set) == 4  # 2 cities x 2 imgs
+    batch = next(iter(train_loader))
+    assert batch["image"].shape == (2, 64, 64, 3)
+    assert batch["image"].dtype == np.float32
+    assert batch["label"].shape == (2, 64, 64)
+    # labels are remapped to trainIds: road=0, sky=10, car=13, void=255
+    vals = set(np.unique(batch["label"]).tolist())
+    assert vals <= {0, 10, 13, 255}, vals
+    # centroid json cached on disk
+    files = os.listdir(os.path.join(str(tmp_path), "centroids"))
+    assert any("cityscapes_cv0" in f for f in files)
+
+
+def test_val_pipeline_full_res(fake_cityscapes, tmp_path):
+    cfg = _cfg(fake_cityscapes, str(tmp_path))
+    _, val_loader, _ = setup_data(cfg, eval_mode="val")
+    batch = next(iter(val_loader))
+    assert batch["image"].shape == (1, H, W, 3)
+    assert batch["label"].shape == (1, H, W)
+    assert isinstance(batch["name"][0], str)
+
+
+def test_epoch_rebuild_changes_crop_list(fake_cityscapes, tmp_path):
+    cfg = _cfg(fake_cityscapes, str(tmp_path))
+    _, _, train_set = setup_data(cfg)
+    train_set.build_epoch(0)
+    epoch0 = list(train_set.imgs)
+    train_set.build_epoch(1)
+    epoch1 = list(train_set.imgs)
+    assert len(epoch0) == len(epoch1)
+    assert epoch0 != epoch1  # epoch-seeded remix
+
+    # mixing ratio at realistic scale: 100 imgs, 4 classes, pct=0.5
+    imgs = [(f"i{k}.png", f"m{k}.png") for k in range(100)]
+    cents = {c: [(f"i{c}.png", f"m{c}.png", (1, 1), c)] for c in range(4)}
+    epoch = build_epoch(imgs, cents, num_classes=4, class_uniform_pct=0.5,
+                        rng=np.random.default_rng(0))
+    n_centroid = sum(1 for r in epoch if len(r) == 4)
+    assert len(epoch) == 100 and n_centroid == 4 * int(100 * 0.5 / 4)
+
+
+def test_centroid_extraction_math(tmp_path):
+    mask = np.full((64, 64), 7, np.uint8)   # road everywhere
+    mask[:, :32] = 26                        # car on left half
+    fn = str(tmp_path / "m.png")
+    Image.fromarray(mask).save(fn)
+    from tpuseg.data.cityscapes_labels import label2trainid
+    cents = class_centroids_image(("img.png", fn), tile_size=64,
+                                  num_classes=19, id2trainid=label2trainid)
+    # car -> trainId 13 centered in left half
+    (img_fn, label_fn, (cx, cy), cid), = cents[13]
+    assert cid == 13 and 0 <= cx < 32 and 28 <= cy <= 34
+
+
+def test_random_size_and_crop_centroid_contained():
+    rng = random.Random(0)
+    img = Image.new("RGB", (W, H))
+    mask = Image.new("L", (W, H), 255)
+    t = RandomSizeAndCrop((64, 64), nopad=False, scale_min=1.0,
+                          scale_max=1.0)
+    for seed in range(20):
+        r = random.Random(seed)
+        _, m, scale = t(img, mask, r, centroid=(200, 100))
+        assert m.size == (64, 64)
+        assert scale == 1.0
+
+
+def test_hflip_pairs():
+    img = Image.fromarray(
+        np.arange(12, dtype=np.uint8).reshape(2, 2, 3))
+    mask = Image.fromarray(np.array([[1, 2], [3, 4]], np.uint8))
+    flipped = False
+    for seed in range(10):
+        r = random.Random(seed)
+        i2, m2 = RandomHorizontallyFlip()(img, mask, r)
+        if np.array(m2)[0, 0] == 2:
+            flipped = True
+            assert np.array(i2)[0, 0, 0] == 3  # image flipped in lockstep
+    assert flipped
+
+
+def test_randaugment_mask_stays_discrete():
+    rng = random.Random(3)
+    img = Image.fromarray(np.random.RandomState(0).randint(
+        0, 255, (64, 64, 3), dtype=np.uint8))
+    mask = Image.fromarray(np.random.RandomState(1).randint(
+        0, 19, (64, 64)).astype(np.uint8))
+    ra = RandAugment(n=4, m=15)
+    for _ in range(5):
+        img2, mask2 = ra(img, mask, rng)
+        vals = set(np.unique(np.array(mask2)).tolist())
+        assert vals <= set(range(19)) | {255}  # NEAREST + ignore fill only
+
+
+def test_relaxed_onehot_semantics():
+    labels = np.zeros((8, 8), np.int64)
+    labels[:, 4:] = 1
+    oh = relaxed_onehot(labels, num_classes=3, border=1)
+    assert oh.shape == (8, 8, 4)
+    # interior pixels far from the boundary: single-hot
+    assert oh[2, 1].tolist() == [1, 0, 0, 0]
+    assert oh[2, 6].tolist() == [0, 1, 0, 0]
+    # image-edge pixels pick up the out-of-bounds (ignore) channel, exactly
+    # like the reference's shift(cval=num_classes) (transforms.py:109)
+    assert oh[0, 0].tolist() == [1, 0, 0, 1]
+    # boundary columns 3/4: both classes acceptable
+    assert oh[2, 3].tolist() == [1, 1, 0, 0]
+    assert oh[2, 4].tolist() == [1, 1, 0, 0]
+    # ignore pixels become the extra channel
+    labels[0, 0] = 255
+    oh = relaxed_onehot(labels, num_classes=3, border=1)
+    assert oh[0, 0, 3] == 1
+
+
+def test_relaxed_onehot_reduce_border():
+    labels = np.zeros((8, 8), np.int64)
+    labels[:, 4:] = 1
+    oh = relaxed_onehot(labels, num_classes=3, border=1, reduce_border=True)
+    # border halved to 0 -> single-hot, but boundary pixels weighted 2x
+    assert oh[2, 3].tolist() == [2, 0, 0, 0]
+    assert oh[2, 4].tolist() == [0, 2, 0, 0]
+    assert oh[2, 0].tolist() == [1, 0, 0, 0]
+    b = find_boundaries_thick(labels)
+    assert b[2, 3] and b[2, 4] and not b[2, 0]
+
+
+def test_sharded_sampler():
+    shards = [list(ShardedEpochSampler(10, num_shards=4, shard=s, seed=1))
+              for s in range(4)]
+    assert all(len(s) == 3 for s in shards)  # ceil(10/4) with pad
+    flat = sorted(i for s in shards for i in s)
+    assert set(flat) <= set(range(10))
+    # epoch changes the permutation
+    s0 = ShardedEpochSampler(10, 4, 0, seed=1)
+    e0 = list(s0)
+    s0.set_epoch(1)
+    assert list(s0) != e0

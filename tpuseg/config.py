@@ -47,6 +47,20 @@ class DatasetConfig:
     translate_aug_fix: bool = False
     mapillary_crop_val: bool = False
     dump_images: bool = False
+    # augmentation knobs (reference: train.py args --scale_min/--scale_max/
+    # --pre_size/--color_aug/--gblur/--bblur/--rand_augment)
+    scale_min: float = 0.5
+    scale_max: float = 2.0
+    pre_size: int | None = None
+    full_crop_training: bool = False
+    color_aug: float = 0.25
+    gblur: bool = False
+    bblur: bool = False
+    rand_augment: Sequence[int] | None = None  # (N, M)
+    jointwtborder: bool = False
+    # host pipeline
+    num_workers: int = 8
+    eval_folder: str | None = None
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,144 @@
+"""Class-uniform sampling: tile centroids + per-epoch crop-list mixing.
+
+Reference: datasets/uniform.py. Each mask is tiled (default 1024^2); for
+every class present in a tile we record the class-region center of mass.
+Each training epoch re-mixes (1 - pct) random images with pct
+class-uniform centroid crops; the crop transform then constrains the random
+crop to contain the centroid.
+
+Differences: rank-0-builds-then-barrier (uniform.py:253-265) becomes
+"process 0 of the host builds, others read" via an atomic file write —
+multi-host coordination happens once at startup in the train driver.
+Randomness is an explicit numpy Generator, not global state.
+"""
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+from functools import partial
+from multiprocessing.dummy import Pool
+from typing import Mapping, Sequence
+
+import numpy as np
+from PIL import Image
+from scipy.ndimage import center_of_mass
+
+# centroid record: (image_fn, label_fn, (x, y), class_id)
+
+
+def calc_tile_locations(tile_size: int, image_size) -> list:
+    """(reference: uniform.py:67-81)"""
+    image_size_y, image_size_x = image_size
+    return [(x * tile_size, y * tile_size)
+            for y in range(image_size_y // tile_size)
+            for x in range(image_size_x // tile_size)]
+
+
+def class_centroids_image(item, tile_size: int, num_classes: int,
+                          id2trainid: Mapping[int, int] | None):
+    """Per-class, per-tile centroids for one mask
+    (reference: uniform.py:84-135)."""
+    image_fn, label_fn = item
+    centroids = defaultdict(list)
+    mask = np.array(Image.open(label_fn))
+    tile_locations = calc_tile_locations(tile_size, mask.shape)
+
+    if id2trainid:
+        remapped = np.full(256, 255, dtype=np.uint8)
+        for k, v in id2trainid.items():
+            if 0 <= k < 256:
+                remapped[k] = v if v >= 0 else 255
+        mask = remapped[mask]
+
+    for x_offs, y_offs in tile_locations:
+        patch = mask[y_offs:y_offs + tile_size, x_offs:x_offs + tile_size]
+        present = np.unique(patch)
+        for class_id in present:
+            if class_id >= num_classes:
+                continue
+            cy, cx = center_of_mass((patch == class_id).astype(np.int32))
+            centroid = (int(cx) + x_offs, int(cy) + y_offs)
+            centroids[int(class_id)].append(
+                (image_fn, label_fn, centroid, int(class_id)))
+    return centroids
+
+
+def class_centroids_all(items: Sequence, num_classes: int, id2trainid,
+                        tile_size: int = 1024, pool_size: int = 32):
+    """Thread-pooled centroid extraction over all masks
+    (reference: uniform.py:138-164)."""
+    fn = partial(class_centroids_image, tile_size=tile_size,
+                 num_classes=num_classes, id2trainid=id2trainid)
+    with Pool(pool_size) as pool:
+        per_image = pool.map(fn, items)
+    centroids = defaultdict(list)
+    for image_items in per_image:
+        for class_id, recs in image_items.items():
+            centroids[class_id].extend(recs)
+    return centroids
+
+
+def build_centroids(items, num_classes: int, centroid_root: str,
+                    dataset_name: str, cv: int | None = None,
+                    coarse: bool = False, custom_coarse: bool = False,
+                    tile_size: int = 1024, id2trainid=None,
+                    is_primary: bool = True) -> dict:
+    """Build or load the centroid JSON (format-compatible with the
+    reference cache, uniform.py:219-275)."""
+    name = dataset_name
+    if coarse or custom_coarse:
+        name += "_coarse" if coarse else ""
+        name += "_customcoarse_final" if custom_coarse else ""
+    else:
+        name += f"_cv{cv}"
+    json_fn = os.path.join(centroid_root, f"{name}_tile{tile_size}.json")
+
+    if os.path.isfile(json_fn):
+        with open(json_fn) as f:
+            centroids = json.load(f)
+        return {int(k): v for k, v in centroids.items()}
+
+    if not is_primary:
+        raise FileNotFoundError(
+            f"{json_fn} missing; the primary process must build it first")
+
+    os.makedirs(centroid_root, exist_ok=True)
+    centroids = class_centroids_all(items, num_classes, id2trainid, tile_size)
+    tmp = json_fn + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(centroids, f, indent=4)
+    os.replace(tmp, json_fn)  # atomic: readers never see a partial file
+    return dict(centroids)
+
+
+def random_sampling(alist: Sequence, num: int, rng: np.random.Generator):
+    """Sample ``num`` items, wrapping around a reshuffled list
+    (reference: uniform.py:200-216)."""
+    assert len(alist), "empty list in random_sampling"
+    indices = rng.permutation(len(alist))
+    return [alist[indices[i % len(alist)]] for i in range(num)]
+
+
+def build_epoch(imgs: Sequence, centroids: Mapping[int, list],
+                num_classes: int, class_uniform_pct: float,
+                rng: np.random.Generator, train: bool = True,
+                class_uniform_bias=None) -> list:
+    """Per-epoch 50/50 mix of random images and class-uniform centroid
+    crops (reference: uniform.py:278-324)."""
+    if not (train and class_uniform_pct):
+        return list(imgs)
+
+    num_epoch = len(imgs)
+    num_per_class = int((num_epoch * class_uniform_pct) / num_classes)
+    num_rand = num_epoch - num_per_class * num_classes
+    epoch_imgs = random_sampling(imgs, num_rand, rng)
+
+    for class_id in range(num_classes):
+        n = num_per_class
+        if class_uniform_bias is not None:
+            n = int(num_per_class * class_uniform_bias[class_id])
+        class_centroids = centroids.get(class_id, [])
+        if class_centroids:
+            epoch_imgs.extend(random_sampling(class_centroids, n, rng))
+    return epoch_imgs

@@ -1,0 +1,52 @@
+"""Device mesh + sharding layout.
+
+TPU-native replacement for the reference's entire distributed stack
+(SURVEY §2.8): NCCL process groups, apex DDP wrappers, DistributedSampler
+and SyncBN collapse into a named-axis mesh and two sharding rules:
+
+- batches: sharded over the ``data`` axis (leading dim);
+- train state: fully replicated.
+
+Under ``jax.jit`` XLA then emits the gradient psum (DDP), global batch-norm
+statistics (SyncBN), and metric reductions (loss/hist allreduce) over ICI.
+An optional ``model`` axis is reserved for spatial sharding of the conv
+trunk (halo exchange) for >2x scales / 8k imagery — the domain's
+ring-attention analogue (SURVEY §5.7), not needed for parity.
+
+Multi-host: ``jax.distributed.initialize()`` before mesh creation; each
+host feeds its local shard of the global batch
+(``jax.make_array_from_process_local_data``).
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, model_parallelism: int = 1,
+              data_axis: str = "data", model_axis: str = "model") -> Mesh:
+    """1D data mesh by default; 2D (data, model) if model_parallelism > 1."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % model_parallelism == 0, (n, model_parallelism)
+    dev_array = np.asarray(devices).reshape(n // model_parallelism,
+                                            model_parallelism)
+    return Mesh(dev_array, (data_axis, model_axis))
+
+
+def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
+    """Leading-dim sharding for a (B, H, W, C) batch."""
+    return NamedSharding(mesh, P(data_axis))
+
+
+def shard_batch(mesh: Mesh, batch, data_axis: str = "data"):
+    """Place a host batch onto the mesh, sharded over the data axis."""
+    sharding = batch_sharding(mesh, data_axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree (train state) over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,71 @@
+"""Jitted train/eval steps — the whole distributed runtime.
+
+The reference's engine (train.py:465-533: DDP gradient allreduce, amp loss
+scaling, loss-logging allreduce) collapses into one ``jax.jit`` over a
+GSPMD mesh: with the batch sharded over the ``data`` axis and the state
+replicated, XLA inserts the gradient/metric collectives (SURVEY §2.8
+rows 2, 3, 6). bf16 needs no loss scaling.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from tpuseg.ops import scale_as
+
+
+def make_train_step(
+    model,
+    criterion: Callable,
+    ocr_alpha: float = 0.4,
+    aux_rmi: bool = False,
+    supervised_mscale_wt: float = 0.0,
+    align_corners: bool = False,
+):
+    """Build the fused two-scale training step
+    (loss composition per reference: ocrnet.py:300-319)."""
+
+    def train_step(state, batch, dropout_rng):
+        rng = jax.random.fold_in(dropout_rng, state.step)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"], train=True,
+                mutable=["batch_stats"], rngs={"dropout": rng})
+            labels = batch["label"]
+            aux_loss = criterion(out["aux"], labels, do_rmi=aux_rmi)
+            main_loss = criterion(out["pred"], labels, do_rmi=True)
+            loss = ocr_alpha * aux_loss + main_loss
+            if supervised_mscale_wt:
+                p05 = scale_as(out["pred_05x"], out["pred"], align_corners)
+                loss_lo = criterion(p05, labels, do_rmi=False)
+                loss_hi = criterion(out["pred_10x"], labels, do_rmi=False)
+                loss = loss + supervised_mscale_wt * (loss_lo + loss_hi)
+            return loss, mutated
+
+        (loss, mutated), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, mutated["batch_stats"])
+        return new_state, {"loss": loss}
+
+    return train_step
+
+
+def make_eval_step(model, num_classes: int):
+    """Eval step: n-scale fused forward -> argmax -> on-device confusion
+    matrix (replaces eval_minibatch's host softmax/argmax + NCCL hist
+    allreduce, reference: utils/trnval_utils.py:170-198, misc.py:110-114)."""
+    from tpuseg.evaluation.metrics import fast_hist_jax
+
+    def eval_step(state, batch):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], train=False)
+        pred = jnp.argmax(out["pred"], axis=-1).astype(jnp.int32)
+        hist = fast_hist_jax(pred, batch["label"], num_classes)
+        return pred, hist
+
+    return eval_step
