@@ -43,23 +43,26 @@ def two_scale_fuse(fwd: ForwardFn, x_1x: jnp.ndarray, lo_scale: float = 0.5,
     hi = fwd(x_1x)
 
     pred_05x = lo["cls_out"].astype(jnp.float32)
-    aux_lo = lo["aux_out"].astype(jnp.float32)
     attn = lo["logit_attn"].astype(jnp.float32)
     p_1x = hi["cls_out"].astype(jnp.float32)
-    aux_1x = hi["aux_out"].astype(jnp.float32)
+    has_aux = "aux_out" in lo
 
     # premultiply at low res, then upscale (reference: ocrnet.py:289-294)
     p_lo = scale_as(attn * pred_05x, p_1x, align_corners)
-    aux_lo_up = scale_as(attn * aux_lo, p_1x, align_corners)
     attn_up = scale_as(attn, p_1x, align_corners)
 
-    return {
+    out = {
         "pred": p_lo + (1.0 - attn_up) * p_1x,
-        "aux": aux_lo_up + (1.0 - attn_up) * aux_1x,
         "pred_05x": pred_05x,
         "pred_10x": p_1x,
         "attn_05x": attn,
     }
+    if has_aux:
+        aux_lo = lo["aux_out"].astype(jnp.float32)
+        aux_1x = hi["aux_out"].astype(jnp.float32)
+        aux_lo_up = scale_as(attn * aux_lo, p_1x, align_corners)
+        out["aux"] = aux_lo_up + (1.0 - attn_up) * aux_1x
+    return out
 
 
 def nscale_fuse(fwd: ForwardFn, x_1x: jnp.ndarray, scales,
@@ -81,7 +84,7 @@ def nscale_fuse(fwd: ForwardFn, x_1x: jnp.ndarray, scales,
         o = fwd(x)
         cls_out = o["cls_out"].astype(jnp.float32)
         attn_out = o["logit_attn"].astype(jnp.float32)
-        aux_out = o["aux_out"].astype(jnp.float32)
+        aux_out = o["aux_out"].astype(jnp.float32) if "aux_out" in o else None
 
         out[fmt_scale("pred", s)] = cls_out
         if s != 2.0:
@@ -93,16 +96,19 @@ def nscale_fuse(fwd: ForwardFn, x_1x: jnp.ndarray, scales,
             # downscale accumulated, fuse at current resolution
             pred = scale_as(pred, cls_out, align_corners)
             pred = attn_out * cls_out + (1.0 - attn_out) * pred
-            aux = scale_as(aux, cls_out, align_corners)
-            aux = attn_out * aux_out + (1.0 - attn_out) * aux
+            if aux is not None:
+                aux = scale_as(aux, cls_out, align_corners)
+                aux = attn_out * aux_out + (1.0 - attn_out) * aux
         else:
             # premultiply at low res, upscale, fuse at accumulated resolution
             cls_up = scale_as(attn_out * cls_out, pred, align_corners)
-            aux_up = scale_as(attn_out * aux_out, pred, align_corners)
             attn_up = scale_as(attn_out, pred, align_corners)
             pred = cls_up + (1.0 - attn_up) * pred
-            aux = aux_up + (1.0 - attn_up) * aux
+            if aux is not None:
+                aux_up = scale_as(attn_out * aux_out, pred, align_corners)
+                aux = aux_up + (1.0 - attn_up) * aux
 
     out["pred"] = pred
-    out["aux"] = aux
+    if aux is not None:
+        out["aux"] = aux
     return out
