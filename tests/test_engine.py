@@ -1,0 +1,160 @@
+"""End-to-end engine tests: Trainer.fit on fake data, eval runner,
+checkpoint round trip, dumper outputs. CPU, tiny model."""
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tpuseg.config import make_config
+
+H, W = 64, 128
+
+
+@pytest.fixture(scope="module")
+def fake_cityscapes(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cs")
+    rng = np.random.RandomState(0)
+    for split, cities in [("train", ["aachen"]), ("val", ["lindau"])]:
+        for city in cities:
+            img_dir = root / "leftImg8bit_trainvaltest/leftImg8bit" / split / city
+            msk_dir = root / "gtFine_trainvaltest/gtFine" / split / city
+            img_dir.mkdir(parents=True)
+            msk_dir.mkdir(parents=True)
+            for i in range(2):
+                base = f"{city}_{i:06d}_000019"
+                Image.fromarray(rng.randint(0, 255, (H, W, 3),
+                                            dtype=np.uint8)).save(
+                    img_dir / f"{base}_leftImg8bit.png")
+                mask = np.zeros((H, W), np.uint8)
+                mask[H // 2:, :] = 7
+                mask[:H // 4, :] = 23
+                Image.fromarray(mask).save(
+                    msk_dir / f"{base}_gtFine_labelIds.png")
+    return str(root)
+
+
+def engine_cfg(fake_root, tmp):
+    return make_config({
+        "model.arch": "ocrnet.HRNet_Mscale_Tiny",
+        "model.compute_dtype": "float32",
+        "model.remat": False,
+        "dataset.name": "cityscapes",
+        "dataset.cityscapes_dir": fake_root,
+        "dataset.centroid_root": os.path.join(tmp, "centroids"),
+        "dataset.crop_size": (32, 32),
+        "dataset.class_uniform_tile": 32,
+        "dataset.num_workers": 2,
+        "dataset.gblur": False,
+        "dataset.color_aug": 0.0,
+        "train.batch_size": 2,
+        "train.test_mode": True,
+        "train.max_epoch": 2,
+        "train.log_every": 1,
+        "eval.scales": (0.5, 1.0),
+        "loss.loss_type": "ce",
+        "optim.lr": 1e-3,
+    })
+
+
+def test_trainer_fit_end_to_end(fake_cityscapes, tmp_path):
+    from tpuseg.train.loop import Trainer
+
+    logdir = str(tmp_path / "logs")
+    cfg = engine_cfg(fake_cityscapes, str(tmp_path))
+    trainer = Trainer(cfg, logdir=logdir)
+    trainer.fit()
+
+    # metrics stream written
+    lines = [json.loads(l) for l in
+             open(os.path.join(logdir, "metrics.jsonl"))]
+    assert any(l["phase"] == "train" for l in lines)
+    assert any(l["phase"] == "val" for l in lines)
+    val = [l for l in lines if l["phase"] == "val"][-1]
+    assert 0.0 <= val["mIoU"] <= 1.0
+
+    # checkpoint written and restorable; resume fast-forwards the epoch
+    assert trainer.ckpt.latest_step() is not None
+    trainer2 = Trainer(cfg, logdir=logdir)
+    assert trainer2.start_epoch >= 1
+
+
+def test_eval_runner_avgpool_and_flip(fake_cityscapes, tmp_path):
+    """Outer flip x extra-scale averaging (reference:
+    trnval_utils.py:109-160)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.evaluation.inference import EvalRunner
+    from tpuseg.models import get_model
+
+    cfg = engine_cfg(fake_cityscapes, str(tmp_path))
+    model = get_model(cfg)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    runner = EvalRunner(model, 19, scales=(1.0, 0.5), do_flip=True,
+                        is_mscale=True)
+    batch = {"image": np.random.RandomState(0).randn(1, 32, 32, 3).astype(
+        np.float32), "label": np.zeros((1, 32, 32), np.int32)}
+    assets, hist, _ = runner.run_batch(variables, batch, calc_metrics=True)
+    assert assets["predictions"].shape == (1, 32, 32)
+    assert hist.sum() == 32 * 32
+    assert "err_mask" in assets
+
+
+def test_evaluate_only_with_dumps(fake_cityscapes, tmp_path):
+    from tpuseg.train.loop import evaluate_only
+
+    cfg = engine_cfg(fake_cityscapes, str(tmp_path))
+    import dataclasses
+
+    cfg = cfg.replace(eval=dataclasses.replace(cfg.eval, dump_assets=True,
+                                               dump_all_images=True))
+    logdir = str(tmp_path / "evallogs")
+    metrics = evaluate_only(cfg, logdir=logdir)
+    assert metrics is not None and 0.0 <= metrics.mean_iou <= 1.0
+    dump_dir = os.path.join(logdir, "eval_images")
+    files = os.listdir(dump_dir)
+    assert "index.html" in files
+    assert any(f.endswith("_prediction.png") for f in files)
+    assert any(f.endswith("_composited.png") for f in files)
+    assert any("attn_" in f for f in files)  # mscale assets dumped
+
+
+def test_forgiving_merge_shape_mismatch():
+    from tpuseg.train.checkpoint import forgiving_merge
+
+    target = {"a": {"w": np.zeros((3, 3))}, "b": {"w": np.zeros(4)}}
+    loaded = {"a": {"w": np.ones((3, 3))}, "b": {"w": np.ones(7)}}
+    merged = forgiving_merge(target, loaded, log=lambda *_: None)
+    assert (merged["a"]["w"] == 1).all()   # shape match -> loaded
+    assert (merged["b"]["w"] == 0).all()   # mismatch -> kept target
+
+
+def test_boundary_fscore():
+    from tpuseg.evaluation.f_boundary import db_eval_boundary
+
+    gt = np.zeros((32, 32), bool)
+    gt[8:24, 8:24] = True
+    assert db_eval_boundary(gt, gt) == 1.0
+    shifted = np.roll(gt, 1, axis=0)
+    f = db_eval_boundary(shifted, gt)
+    assert 0.9 < f <= 1.0   # 1px shift within tolerance band
+    far = np.zeros_like(gt)
+    far[28:, 28:] = True
+    assert db_eval_boundary(far, gt) < 0.3
+
+
+def test_cli_config_parsing(tmp_path):
+    from tpuseg.cli.main import load_config
+
+    recipe = tmp_path / "r.yaml"
+    recipe.write_text("model.arch: deepv3.DeepWV3Plus\noptim.lr: 0.01\n")
+    cfg = load_config(str(recipe), ["train.batch_size=4",
+                                    "eval.scales=0.5,1.0,2.0"])
+    assert cfg.model.arch == "deepv3.DeepWV3Plus"
+    assert cfg.optim.lr == 0.01
+    assert cfg.train.batch_size == 4
+    assert cfg.eval.scales == (0.5, 1.0, 2.0)

@@ -1,0 +1,90 @@
+"""Single CLI entry point: ``python -m tpuseg.cli <train|eval|dump> ...``.
+
+Replaces the reference's runx-YAML + torch.distributed.launch + 90-flag
+argparse stack (reference: scripts/*.yml, train.py:62-300) with one
+process per host and dotted-path config overrides:
+
+  python -m tpuseg.cli train --config tpuseg/cli/recipes/train_cityscapes.yaml
+  python -m tpuseg.cli eval  --config ... --set eval.scales=0.5,1.0,2.0
+  python -m tpuseg.cli dump  --config ... --set dataset.eval_folder=/imgs
+"""
+from __future__ import annotations
+
+import argparse
+import ast
+import sys
+
+import yaml
+
+from tpuseg.config import make_config
+
+
+def _parse_value(v: str):
+    if "," in v:
+        return tuple(_parse_value(x) for x in v.split(",") if x != "")
+    try:
+        return ast.literal_eval(v)
+    except (ValueError, SyntaxError):
+        return v
+
+
+def load_config(config_path: str | None, sets: list[str]):
+    overrides = {}
+    if config_path:
+        with open(config_path) as f:
+            overrides.update(yaml.safe_load(f) or {})
+    for item in sets:
+        key, _, val = item.partition("=")
+        overrides[key] = _parse_value(val)
+    return make_config(overrides)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="tpuseg")
+    parser.add_argument("command", choices=["train", "eval", "dump"])
+    parser.add_argument("--config", default=None, help="YAML recipe")
+    parser.add_argument("--set", dest="sets", action="append", default=[],
+                        metavar="KEY=VALUE", help="dotted config override")
+    parser.add_argument("--logdir", default="logs")
+    parser.add_argument("--checkpoint", default=None,
+                        help="weights for eval/dump")
+    parser.add_argument("--eval-mode", default="val",
+                        choices=["val", "trn", "folder"])
+    parser.add_argument("--multi-host", action="store_true",
+                        help="call jax.distributed.initialize() first")
+    args = parser.parse_args(argv)
+
+    if args.multi_host:
+        import jax
+
+        jax.distributed.initialize()
+
+    cfg = load_config(args.config, args.sets)
+
+    import jax
+
+    is_primary = jax.process_index() == 0
+
+    if args.command == "train":
+        from tpuseg.train.loop import Trainer
+
+        Trainer(cfg, logdir=args.logdir, is_primary=is_primary).fit()
+    elif args.command == "eval":
+        from tpuseg.train.loop import evaluate_only
+
+        evaluate_only(cfg, logdir=args.logdir, eval_mode=args.eval_mode,
+                      checkpoint=args.checkpoint, is_primary=is_primary)
+    elif args.command == "dump":
+        from tpuseg.train.loop import evaluate_only
+
+        import dataclasses
+
+        cfg = cfg.replace(eval=dataclasses.replace(
+            cfg.eval, dump_assets=True, dump_all_images=True))
+        evaluate_only(cfg, logdir=args.logdir, eval_mode=args.eval_mode,
+                      checkpoint=args.checkpoint, is_primary=is_primary)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

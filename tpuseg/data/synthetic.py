@@ -31,7 +31,9 @@ class SyntheticDataset:
             label = rng.randint(0, self.num_classes, (h, w)).astype(np.int32)
         else:
             label = np.zeros((h, w), dtype=np.int32)
-        return {"image": image, "label": label}
+        return {"image": image, "label": label,
+                "name": f"synthetic_{idx:06d}",
+                "scale_float": np.float32(1.0)}
 
     def batches(self, batch_size: int, steps: int):
         """Yield fixed-shape host batches."""

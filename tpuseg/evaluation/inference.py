@@ -1,0 +1,135 @@
+"""Eval-time inference: outer flip x avgpool-scale loop around the
+(possibly in-model multi-scale) forward.
+
+Reference: eval_minibatch (utils/trnval_utils.py:82-198). Two multi-scale
+mechanisms compose exactly as in the reference:
+1. in-model hierarchical attention fusion (model's nscale path);
+2. an OUTER averaging loop over ``extra_scales`` x horizontal flips.
+
+TPU-first: softmax/argmax/confusion-matrix run on device inside the jitted
+step; only int predictions and small assets come back to the host. Each
+distinct input shape compiles once (val sets with fixed resolution compile
+exactly two graphs: flip handled by jnp.flip inside the same graph).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuseg.evaluation.metrics import fast_hist_jax, fmt_scale
+from tpuseg.ops import resize_bilinear
+
+
+def calc_err_mask_all(pred: np.ndarray, gt: np.ndarray,
+                      num_classes: int, ignore_label: int = 255) -> np.ndarray:
+    """Class-agnostic error mask (reference: trnval_utils.py:71-79)."""
+    mask = (gt >= 0) & (gt != ignore_label)
+    return (mask & (pred != gt)).astype(int)
+
+
+def calc_err_mask(pred, gt, classid, ignore_label: int = 255):
+    """Class-specific error mask (reference: trnval_utils.py:58-68)."""
+    class_mask = (gt >= 0) & (gt == classid)
+    fp = (pred == classid) & ~class_mask & (gt != ignore_label)
+    fn = (pred != classid) & class_mask
+    return (fp | fn).astype(int)
+
+
+def make_eval_forward(
+    model,
+    num_classes: int,
+    scales=(1.0,),
+    do_flip: bool = False,
+    align_corners: bool = False,
+    is_mscale: bool = True,
+):
+    """Build the jitted full-eval forward.
+
+    Returns fn(variables, image, label) ->
+      (avg_logits f32, pred int32, prob f32, hist, asset_dict).
+    """
+
+    def forward(variables, image, label):
+        input_size = image.shape[-3:-1]
+        flips = (1, 0) if do_flip else (0,)
+        output = 0.0
+        output_dict = {}
+        for flip in flips:
+            for scale in scales:
+                x = jnp.flip(image, axis=-2) if flip else image
+                if scale != 1.0:
+                    size = [round(s * scale) for s in input_size]
+                    x = resize_bilinear(x, size, align_corners)
+                odict = model.apply(variables, x, train=False)
+                pred = odict["pred"].astype(jnp.float32)
+                if not is_mscale:
+                    output_dict[fmt_scale("pred", scale)] = pred
+                if flip == 0 and scale == 1.0:
+                    # keep per-scale assets from the canonical orientation
+                    for k, v in odict.items():
+                        if k.startswith(("pred_", "attn_")):
+                            output_dict[k] = v.astype(jnp.float32)
+                if scale != 1.0:
+                    pred = resize_bilinear(pred, input_size, align_corners)
+                output = output + (jnp.flip(pred, axis=-2) if flip else pred)
+        output = output / (len(scales) * len(flips))
+
+        probs = jax.nn.softmax(output, axis=-1)
+        prob = jnp.max(probs, axis=-1)
+        prediction = jnp.argmax(output, axis=-1).astype(jnp.int32)
+        hist = fast_hist_jax(prediction, label, num_classes)
+
+        assets = {}
+        for k, v in output_dict.items():
+            if k.startswith("attn_"):
+                assets[k] = v
+            elif k.startswith("pred_"):
+                assets[k] = jnp.argmax(v, axis=-1).astype(jnp.int32)
+        return output, prediction, prob, hist, assets
+
+    return jax.jit(forward)
+
+
+class EvalRunner:
+    """Drives eval over a loader, accumulating the confusion matrix on
+    device and assembling host-side assets for dumping.
+
+    Replaces the body of validate() + eval_minibatch
+    (reference: train.py:536-597, trnval_utils.py:82-198).
+    """
+
+    def __init__(self, model, num_classes: int, scales=(1.0,),
+                 do_flip: bool = False, align_corners: bool = False,
+                 is_mscale: bool = True, ignore_label: int = 255,
+                 criterion: Optional[Callable] = None):
+        self.num_classes = num_classes
+        self.ignore_label = ignore_label
+        self.criterion = criterion
+        self.forward = make_eval_forward(model, num_classes, scales, do_flip,
+                                         align_corners, is_mscale)
+
+    def run_batch(self, variables, batch, calc_metrics: bool = True):
+        image = jnp.asarray(batch["image"])
+        label = jnp.asarray(batch["label"])
+        output, pred, prob, hist, assets = self.forward(variables, image,
+                                                        label)
+        pred_np = np.asarray(pred)
+        out = {
+            "predictions": pred_np,
+            "prob_mask": np.asarray(prob),
+        }
+        for k, v in assets.items():
+            out[k] = np.asarray(v)
+        val_loss = None
+        if calc_metrics:
+            gt = np.asarray(batch["label"])
+            out["err_mask"] = calc_err_mask_all(pred_np, gt,
+                                                self.num_classes,
+                                                self.ignore_label)
+            if self.criterion is not None:
+                val_loss = float(self.criterion(output, label))
+        return out, np.asarray(hist), val_loss

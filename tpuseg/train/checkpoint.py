@@ -1,0 +1,122 @@
+"""Checkpointing: orbax save/restore, forgiving partial restore,
+best-by-metric retention, auto-resume.
+
+Reference behaviors reproduced (SURVEY §5.4):
+- ckpt payload = {step, epoch, params, batch_stats, opt_state, mean_iu,
+  command} (reference save_dict: utils/misc.py:147-155);
+- best-by-mIoU retention (logx.save_model);
+- ``forgiving_state_restore``: skip shape-mismatched entries to allow
+  cross-dataset transfer, e.g. 65-class Mapillary -> 19-class Cityscapes
+  (reference: loss/optimizer.py:137-154);
+- weights-only "snapshot" warm start vs full resume
+  (reference: train.py:343-376).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def flatten_tree(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = tree
+    return out
+
+
+def forgiving_merge(target: dict, loaded: dict, log=print) -> dict:
+    """Merge ``loaded`` into ``target`` params/stats trees, skipping keys
+    missing or shape-mismatched (reference forgiving_state_restore:
+    loss/optimizer.py:137-154)."""
+    flat_t = flatten_tree(target)
+    flat_l = flatten_tree(loaded)
+    merged = {}
+    skipped = []
+    for k, v in flat_t.items():
+        if k in flat_l and tuple(np.shape(flat_l[k])) == tuple(np.shape(v)):
+            merged[k] = flat_l[k]
+        else:
+            merged[k] = v
+            skipped.append(k)
+    for k in skipped:
+        log(f"Skipped loading parameter {k}")
+    # unflatten
+    out: dict = {}
+    for k, v in merged.items():
+        parts = k.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
+class CheckpointManager:
+    """Thin orbax wrapper with best-by-metric retention."""
+
+    def __init__(self, directory: str, keep: int = 2):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep,
+                best_fn=lambda m: m.get("mean_iu", 0.0),
+                best_mode="max",
+            ),
+        )
+
+    def save(self, step: int, state, epoch: int, mean_iu: float,
+             extra: Optional[dict] = None):
+        payload = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "meta": {"epoch": epoch, "step": int(state.step),
+                     "mean_iu": float(mean_iu), **(extra or {})},
+        }
+        self.manager.save(step, args=ocp.args.StandardSave(payload),
+                          metrics={"mean_iu": float(mean_iu)})
+        self.manager.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, step: Optional[int] = None) -> Optional[dict]:
+        step = step if step is not None else self.manager.latest_step()
+        if step is None:
+            return None
+        return self.manager.restore(step)
+
+
+def load_snapshot(path: str, target_params: dict, target_stats: dict,
+                  log=print):
+    """Weights-only warm start with forgiving merge
+    (reference --snapshot path: train.py:367-376)."""
+    ckptr = ocp.StandardCheckpointer()
+    loaded = ckptr.restore(os.path.abspath(path))
+    params = forgiving_merge(target_params, loaded.get("params", loaded), log)
+    stats = target_stats
+    if "batch_stats" in loaded:
+        stats = forgiving_merge(target_stats, loaded["batch_stats"], log)
+    return params, stats
+
+
+class AutoResume:
+    """File-based preemption/resume handshake (reference: the cluster
+    AutoResume hook, train.py:303-321, 343-358): if a termination-request
+    file appears, training checkpoints and exits; on restart the latest
+    checkpoint in the manager resumes automatically."""
+
+    def __init__(self, signal_file: Optional[str] = None):
+        self.signal_file = signal_file
+
+    def termination_requested(self) -> bool:
+        return bool(self.signal_file) and os.path.exists(self.signal_file)

@@ -1,0 +1,348 @@
+"""Training/eval orchestration — the engine.
+
+Replaces the reference's main()/train()/validate() (train.py:324-597) with
+a Trainer class around the jitted GSPMD steps. Epoch-mutable state the
+reference kept in the frozen-then-unfrozen global cfg (EPOCH for label
+relaxation, config.py:364-368) lives here as plain attributes.
+"""
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuseg.config import Config, infer_mscale
+from tpuseg.data.setup import setup_data
+from tpuseg.evaluation.dumper import ImageDumper
+from tpuseg.evaluation.inference import EvalRunner
+from tpuseg.evaluation.metrics import (
+    AverageMeter,
+    eval_metrics_from_hist,
+    format_evaluate_results,
+)
+from tpuseg.losses import get_loss
+from tpuseg.models import get_model
+from tpuseg.parallel import make_mesh, replicate, shard_batch
+from tpuseg.train.checkpoint import AutoResume, CheckpointManager, \
+    load_snapshot
+from tpuseg.train.optim import make_optimizer
+from tpuseg.train.state import create_train_state
+from tpuseg.train.step import make_train_step
+from tpuseg.utils.logging import Logger
+
+
+class Trainer:
+    def __init__(self, cfg: Config, logdir: str = "logs",
+                 is_primary: bool = True):
+        self.cfg = cfg
+        self.logger = Logger(logdir, is_primary)
+        self.is_primary = is_primary
+        self.logdir = logdir
+
+        # size the data axis to the largest device count dividing the batch
+        devices = jax.devices()
+        n_data = len(devices) // cfg.mesh.model_parallelism
+        while n_data > 1 and cfg.train.batch_size % n_data != 0:
+            n_data -= 1
+        self.mesh = make_mesh(
+            devices[: n_data * cfg.mesh.model_parallelism],
+            model_parallelism=cfg.mesh.model_parallelism)
+        self.logger.msg(f"mesh: {dict(self.mesh.shape)}")
+
+        self.model = get_model(cfg)
+        self.eval_model = self._make_eval_model()
+        self.criterion, self.val_criterion = get_loss(cfg)
+
+        self.train_loader, self.val_loader, self.train_set = setup_data(
+            cfg, eval_mode=None, seed=cfg.train.seed,
+            is_primary=is_primary)
+        self.steps_per_epoch = max(1, len(self.train_loader))
+        if cfg.train.test_mode:
+            self.steps_per_epoch = min(self.steps_per_epoch, 10)
+
+        self.tx, self.schedule = make_optimizer(cfg, self.steps_per_epoch)
+        h, w = cfg.dataset.crop_size
+        example = jnp.zeros((1, int(h), int(w), 3),
+                            jnp.dtype(cfg.model.compute_dtype))
+        self.state = create_train_state(self.model, self.tx,
+                                        jax.random.PRNGKey(cfg.train.seed),
+                                        example)
+        n_params = sum(p.size for p in jax.tree.leaves(self.state.params))
+        self.logger.msg(f"params: {n_params / 1e6:.2f}M")
+
+        self.ckpt = CheckpointManager(
+            os.path.join(logdir, cfg.train.checkpoint_dir),
+            keep=cfg.train.keep_checkpoints)
+        self.auto_resume = AutoResume(
+            os.environ.get("TPUSEG_TERMINATE_FILE"))
+        self.start_epoch = 0
+        self.best_miou = 0.0
+        self._restore()
+
+        self.state = replicate(self.mesh, self.state)
+        self._train_step = None
+        self._train_step_invert = None
+
+    # ------------------------------------------------------------------
+    def _make_eval_model(self):
+        cfg = self.cfg
+        if infer_mscale(cfg) and not cfg.model.n_scales:
+            import dataclasses
+
+            cfg = cfg.replace(model=dataclasses.replace(
+                cfg.model, n_scales=tuple(cfg.eval.scales)))
+        return get_model(cfg)
+
+    def _restore(self):
+        cfg = self.cfg
+        restored = None
+        if cfg.train.resume:
+            mgr = CheckpointManager(cfg.train.resume)
+            restored = mgr.restore()
+        elif self.ckpt.latest_step() is not None:  # auto-resume
+            restored = self.ckpt.restore()
+        if restored is not None:
+            self.state = self.state.replace(
+                params=restored["params"],
+                batch_stats=restored["batch_stats"],
+                opt_state=restored["opt_state"],
+                step=jnp.asarray(restored["meta"]["step"], jnp.int32))
+            self.start_epoch = int(restored["meta"]["epoch"]) + 1
+            self.best_miou = float(restored["meta"].get("mean_iu", 0.0))
+            self.logger.msg(
+                f"resumed at epoch {self.start_epoch} "
+                f"(best mIoU {self.best_miou:.4f})")
+        elif cfg.train.snapshot:
+            params, stats = load_snapshot(cfg.train.snapshot,
+                                          self.state.params,
+                                          self.state.batch_stats,
+                                          self.logger.msg)
+            self.state = self.state.replace(params=params, batch_stats=stats)
+            self.logger.msg(f"loaded snapshot {cfg.train.snapshot}")
+
+    def _get_train_step(self, invert_border: bool):
+        """Two cached jitted steps: the relaxed-loss border inversion after
+        REDUCE_BORDER_EPOCH is a static recompile (reference flips it via
+        the global EPOCH, loss/utils.py:183-186)."""
+        lc = self.cfg.loss
+        crit = self.criterion
+        if lc.loss_type == "relaxed":
+            crit = partial(self.criterion, invert_border=invert_border)
+        key = "_train_step_invert" if invert_border else "_train_step"
+        if getattr(self, key) is None:
+            setattr(self, key, jax.jit(make_train_step(
+                self.model, crit,
+                ocr_alpha=lc.ocr_alpha,
+                aux_rmi=lc.ocr_aux_rmi,
+                supervised_mscale_wt=lc.supervised_mscale_wt,
+                align_corners=self.cfg.model.align_corners)))
+        return getattr(self, key)
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int):
+        """(reference train(): train.py:465-533)"""
+        cfg = self.cfg
+        invert = (cfg.loss.reduce_border_epoch != -1 and
+                  epoch > cfg.loss.reduce_border_epoch)
+        step_fn = self._get_train_step(invert)
+        rng = jax.random.PRNGKey(cfg.train.seed + 1)
+
+        if self.train_set is not None and hasattr(self.train_set,
+                                                  "build_epoch"):
+            self.train_set.build_epoch(epoch)
+        self.train_loader.set_epoch(epoch)
+
+        losses = AverageMeter()
+        t_start = time.time()
+        n_done = 0
+        for i, batch in enumerate(self.train_loader):
+            if cfg.train.test_mode and i >= 10:
+                break
+            device_batch = shard_batch(self.mesh, {
+                "image": batch["image"], "label": batch["label"]})
+            self.state, metrics = step_fn(self.state, device_batch, rng)
+            n_done += 1
+            if (i + 1) % cfg.train.log_every == 0 or i == 0:
+                loss = float(metrics["loss"])  # device sync point
+                losses.update(loss, batch["image"].shape[0])
+                step = int(self.state.step)
+                lr = float(self.schedule(step))
+                imgs_s = (n_done * batch["image"].shape[0] /
+                          max(time.time() - t_start, 1e-6))
+                self.logger.msg(
+                    f"epoch {epoch} it {i + 1}/{self.steps_per_epoch} "
+                    f"loss {loss:.4f} (avg {losses.avg:.4f}) lr {lr:.6f} "
+                    f"{imgs_s:.2f} img/s")
+                self.logger.metric("train", {"loss": loss, "lr": lr,
+                                             "imgs_per_sec": imgs_s}, step)
+        return losses.avg
+
+    # ------------------------------------------------------------------
+    def validate(self, epoch: int, dump_assets: bool = False,
+                 dump_all_images: bool = False, calc_metrics: bool = True):
+        """(reference validate(): train.py:536-597)"""
+        cfg = self.cfg
+        runner = EvalRunner(
+            self.eval_model, cfg.dataset.num_classes,
+            scales=(1.0,) if not cfg.eval.extra_scales else
+            (1.0, *cfg.eval.extra_scales),
+            do_flip=cfg.eval.do_flip,
+            align_corners=cfg.model.align_corners,
+            is_mscale=infer_mscale(cfg),
+            ignore_label=cfg.dataset.ignore_label,
+            criterion=self.val_criterion if calc_metrics else None)
+
+        palette = getattr(self.val_loader.dataset, "palette", None)
+        from tpuseg.data.cityscapes_labels import TRAINID_TO_ID
+        dumper = ImageDumper(
+            val_len=len(self.val_loader), dump_dir=os.path.join(
+                self.logdir, "best_images"),
+            palette=palette, mean=cfg.dataset.mean, std=cfg.dataset.std,
+            trainid_to_id=TRAINID_TO_ID,
+            dump_all_images=dump_all_images or cfg.eval.dump_all_images,
+            dump_assets=dump_assets or cfg.eval.dump_assets,
+            dump_for_auto_labelling=cfg.eval.dump_for_auto_labelling,
+            dump_for_submission=cfg.eval.dump_for_submission)
+
+        total_hist = np.zeros(
+            (cfg.dataset.num_classes, cfg.dataset.num_classes), np.float64)
+        val_loss = AverageMeter()
+        # variables for the eval model (same params/stats)
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        for val_idx, batch in enumerate(self.val_loader):
+            if cfg.train.test_mode and val_idx >= 5:
+                break
+            assets, hist, loss = runner.run_batch(variables, batch,
+                                                  calc_metrics)
+            total_hist += hist
+            if loss is not None:
+                val_loss.update(loss, 1)
+            dumper.dump({"input_images": batch["image"],
+                         "gt_images": batch["label"],
+                         "img_names": batch["name"],
+                         "assets": assets}, val_idx)
+            if val_idx % 20 == 0:
+                self.logger.msg(f"validating [{val_idx}/"
+                                f"{len(self.val_loader)}]")
+
+        if not calc_metrics:
+            dumper.write_webpage()
+            return None
+
+        metrics = eval_metrics_from_hist(total_hist)
+        class_names = list(getattr(self.val_loader.dataset,
+                                   "trainid_to_name", {}).values()) or None
+        self.logger.msg("\n" + format_evaluate_results(
+            total_hist, class_names, epoch))
+        self.logger.metric("val", {"loss": val_loss.avg,
+                                   "mIoU": metrics.mean_iou,
+                                   "acc": metrics.acc}, int(self.state.step))
+        dumper.write_webpage()
+
+        if self.is_primary and metrics.mean_iou >= self.best_miou:
+            self.best_miou = metrics.mean_iou
+        self.ckpt.save(int(self.state.step), self.state, epoch,
+                       metrics.mean_iou)
+        return metrics
+
+    # ------------------------------------------------------------------
+    def fit(self):
+        """(reference main() epoch loop: train.py:431-462)"""
+        cfg = self.cfg
+        max_epoch = 2 if cfg.train.test_mode else cfg.train.max_epoch
+        for epoch in range(self.start_epoch, max_epoch):
+            self.train_epoch(epoch)
+            if (epoch + 1) % cfg.train.val_freq == 0 or \
+                    epoch == max_epoch - 1:
+                self.validate(epoch)
+            if self.auto_resume.termination_requested():
+                self.logger.msg("termination requested: checkpoint + exit")
+                self.ckpt.save(int(self.state.step), self.state, epoch,
+                               self.best_miou)
+                return
+        self.logger.msg(f"done; best mIoU {self.best_miou:.4f}")
+
+
+def evaluate_only(cfg: Config, logdir: str = "logs",
+                  eval_mode: str = "val", checkpoint: Optional[str] = None,
+                  is_primary: bool = True):
+    """Eval-only entry (reference: train.py:406-429 --eval paths)."""
+    logger = Logger(logdir, is_primary)
+    model_cfg = cfg
+    if infer_mscale(cfg) and not cfg.model.n_scales:
+        import dataclasses
+
+        model_cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, n_scales=tuple(cfg.eval.scales)))
+    model = get_model(model_cfg)
+    _, val_criterion = get_loss(cfg)
+
+    _, val_loader, _ = setup_data(cfg, eval_mode=eval_mode,
+                                  seed=cfg.train.seed,
+                                  is_primary=is_primary)
+
+    h, w = cfg.dataset.crop_size
+    example = jnp.zeros((1, 64, 64, 3), jnp.dtype(cfg.model.compute_dtype))
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), example)
+    if checkpoint:
+        from tpuseg.train.checkpoint import load_snapshot
+
+        params, stats = load_snapshot(checkpoint, variables["params"],
+                                      variables.get("batch_stats", {}),
+                                      logger.msg)
+        variables = {"params": params, "batch_stats": stats}
+
+    runner = EvalRunner(
+        model, cfg.dataset.num_classes,
+        scales=(1.0,) if not cfg.eval.extra_scales else
+        (1.0, *cfg.eval.extra_scales),
+        do_flip=cfg.eval.do_flip, align_corners=cfg.model.align_corners,
+        is_mscale=infer_mscale(cfg),
+        ignore_label=cfg.dataset.ignore_label,
+        criterion=val_criterion)
+
+    calc_metrics = eval_mode != "folder" and \
+        not cfg.eval.dump_for_auto_labelling and \
+        not cfg.eval.dump_for_submission
+
+    palette = getattr(val_loader.dataset, "palette", None)
+    from tpuseg.data.cityscapes_labels import TRAINID_TO_ID
+    dumper = ImageDumper(
+        val_len=len(val_loader),
+        dump_dir=cfg.eval.result_dir or os.path.join(logdir, "eval_images"),
+        palette=palette, mean=cfg.dataset.mean, std=cfg.dataset.std,
+        trainid_to_id=TRAINID_TO_ID,
+        dump_all_images=cfg.eval.dump_all_images or eval_mode == "folder",
+        dump_assets=cfg.eval.dump_assets,
+        dump_for_auto_labelling=cfg.eval.dump_for_auto_labelling,
+        dump_for_submission=cfg.eval.dump_for_submission)
+
+    total_hist = np.zeros(
+        (cfg.dataset.num_classes, cfg.dataset.num_classes), np.float64)
+    for val_idx, batch in enumerate(val_loader):
+        if cfg.train.test_mode and val_idx >= 5:
+            break
+        assets, hist, _ = runner.run_batch(variables, batch, calc_metrics)
+        total_hist += hist
+        dumper.dump({"input_images": batch["image"],
+                     "gt_images": batch["label"],
+                     "img_names": batch["name"],
+                     "assets": assets}, val_idx)
+        if val_idx % 20 == 0:
+            logger.msg(f"eval [{val_idx}/{len(val_loader)}]")
+    dumper.write_webpage()
+    if calc_metrics:
+        metrics = eval_metrics_from_hist(total_hist)
+        class_names = list(getattr(val_loader.dataset, "trainid_to_name",
+                                   {}).values()) or None
+        logger.msg("\n" + format_evaluate_results(total_hist, class_names))
+        logger.msg(f"mean mIoU: {metrics.mean_iou:.4f}")
+        return metrics
+    return None
