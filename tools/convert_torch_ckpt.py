@@ -1,0 +1,302 @@
+"""Convert reference PyTorch checkpoints to tpuseg flax trees.
+
+Usage:
+  python tools/convert_torch_ckpt.py --arch ocrnet.HRNet_Mscale \
+      --torch-ckpt cityscapes_ocrnet.HRNet_Mscale_outstanding-turtle.pth \
+      --out ckpt_jax/
+
+Handles (reference naming per network/hrnetv2.py, network/ocrnet.py,
+network/ocr_utils.py, network/utils.py):
+- HRNetV2-W48 trunk: stem, layer1 bottlenecks, transition1-3, stage2-4
+  modules (branches + fuse layers);
+- OCR block: conv3x3_ocr, aux head, ObjectAttention f_pixel/f_object/
+  f_down/f_up, conv_bn_dropout, cls head;
+- scale-attention head;
+- the reference's own remaps: 'module.' DataParallel prefixes
+  (wider_resnet.py:406-412), 'model.' prefixes and 'last_layer'->'aux_head'
+  (hrnetv2.py:467-469).
+
+Weight layout transforms:
+- conv: OIHW -> HWIO;
+- depthwise conv: torch (C,1,H,W) groups=C -> flax HWIO (H,W,1,C);
+- BN: weight/bias -> scale/bias params, running_mean/var -> batch_stats.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+from typing import Dict, Tuple
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+# ---------------------------------------------------------------------------
+# key translation: flax path -> torch key prefix
+# ---------------------------------------------------------------------------
+
+def _hrnet_torch_prefix(flax_path: str) -> str | None:
+    """Map one flax HRNetV2 module path to the torch module prefix.
+
+    flax naming: tpuseg/models/hrnet.py; torch naming: the HRNet upstream
+    scheme used by the reference (network/hrnetv2.py).
+    """
+    m = re.match(r"stem_conv(\d)$", flax_path)
+    if m:
+        return f"conv{m.group(1)}"
+    m = re.match(r"stem_bn(\d)$", flax_path)
+    if m:
+        return f"bn{m.group(1)}"
+    m = re.match(r"layer1_block(\d+)/(.+)$", flax_path)
+    if m:
+        b, rest = m.groups()
+        return f"layer1.{b}." + _block_sub(rest)
+    m = re.match(r"transition(\d)/t(\d+)_conv(\d*)$", flax_path)
+    if m:
+        t, i, j = m.groups()
+        if j == "":
+            return f"transition{t}.{i}.0"
+        return f"transition{t}.{i}.{j}.0"
+    m = re.match(r"transition(\d)/t(\d+)_bn(\d*)$", flax_path)
+    if m:
+        t, i, j = m.groups()
+        if j == "":
+            return f"transition{t}.{i}.1"
+        return f"transition{t}.{i}.{j}.1"
+    m = re.match(r"stage(\d)_m(\d+)/branch(\d+)_block(\d+)/(.+)$", flax_path)
+    if m:
+        s, mod, br, b, rest = m.groups()
+        return f"stage{s}.{mod}.branches.{br}.{b}." + _block_sub(rest)
+    m = re.match(r"stage(\d)_m(\d+)/fuse(\d+)_(\d+)_conv(\d*)$", flax_path)
+    if m:
+        s, mod, i, j, k = m.groups()
+        base = f"stage{s}.{mod}.fuse_layers.{i}.{j}"
+        # j > i: Sequential(conv, bn); j < i: nested Sequentials
+        return f"{base}.0" if k == "" else f"{base}.{k}.0"
+    m = re.match(r"stage(\d)_m(\d+)/fuse(\d+)_(\d+)_bn(\d*)$", flax_path)
+    if m:
+        s, mod, i, j, k = m.groups()
+        base = f"stage{s}.{mod}.fuse_layers.{i}.{j}"
+        return f"{base}.1" if k == "" else f"{base}.{k}.1"
+    return None
+
+
+def _block_sub(rest: str) -> str:
+    """conv1 -> conv1, bn2 -> bn2, downsample_conv -> downsample.0,
+    downsample_bn -> downsample.1."""
+    if rest == "downsample_conv":
+        return "downsample.0"
+    if rest == "downsample_bn":
+        return "downsample.1"
+    return rest
+
+
+def _ocr_torch_prefix(flax_path: str) -> str | None:
+    """OCR block (flax: tpuseg/models/ocr.py; torch: OCR_block +
+    SpatialOCR/ObjectAttention, ocrnet.py:42-91, ocr_utils.py)."""
+    table = {
+        "conv3x3_ocr/conv": "conv3x3_ocr.0",
+        "conv3x3_ocr/norm": "conv3x3_ocr.1.0",
+        "aux0/conv": "aux_head.0",
+        "aux0/norm": "aux_head.1.0",
+        "aux_cls": "aux_head.2",
+        "cls": "cls_head",
+        "ocr_distri/conv_bn/conv": "ocr_distri_head.conv_bn_dropout.0",
+        "ocr_distri/conv_bn/norm": "ocr_distri_head.conv_bn_dropout.1.0",
+    }
+    if flax_path in table:
+        return table[flax_path]
+    m = re.match(r"ocr_distri/object_context/f_(pixel|object)(\d)/(conv|norm)$",
+                 flax_path)
+    if m:
+        which, idx, kind = m.groups()
+        seq = int(idx) * 2
+        sub = f"{seq}" if kind == "conv" else f"{seq + 1}.0"
+        return f"ocr_distri_head.object_context_block.f_{which}.{sub}"
+    m = re.match(r"ocr_distri/object_context/f_(down|up)/(conv|norm)$",
+                 flax_path)
+    if m:
+        which, kind = m.groups()
+        sub = "0" if kind == "conv" else "1.0"
+        return f"ocr_distri_head.object_context_block.f_{which}.{sub}"
+    return None
+
+
+def _attn_head_torch_prefix(flax_path: str) -> str | None:
+    """AttnHead (flax: layers.py AttnHead; torch: make_attn_head OrderedDict
+    names conv0/bn0/conv1/bn1/conv2, network/utils.py:343-367)."""
+    table = {
+        "conv0/conv": "conv0", "conv0/norm": "bn0",
+        "conv1/conv": "conv1", "conv1/norm": "bn1",
+        "cls": "conv2",
+    }
+    return table.get(flax_path)
+
+
+def flax_to_torch_key(flax_path: str) -> str | None:
+    """Full-model mapping for ocrnet.HRNet_Mscale / ocrnet.HRNet."""
+    if flax_path.startswith("backbone/"):
+        sub = _hrnet_torch_prefix(flax_path[len("backbone/"):])
+        return f"backbone.{sub}" if sub else None
+    if flax_path.startswith("ocr/"):
+        sub = _ocr_torch_prefix(flax_path[len("ocr/"):])
+        return f"ocr.{sub}" if sub else None
+    if flax_path.startswith("scale_attn/"):
+        sub = _attn_head_torch_prefix(flax_path[len("scale_attn/"):])
+        return f"scale_attn.{sub}" if sub else None
+    return None
+
+
+# ---------------------------------------------------------------------------
+# tensor conversion
+# ---------------------------------------------------------------------------
+
+def convert_conv_weight(w: np.ndarray, feature_group_count: int = 1
+                        ) -> np.ndarray:
+    """torch OIHW -> flax HWIO (depthwise: (C,1,H,W) -> (H,W,1,C))."""
+    if feature_group_count > 1 and w.shape[1] == 1:
+        return np.transpose(w, (2, 3, 1, 0))
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _strip_prefixes(state_dict: dict) -> dict:
+    """The reference's own ckpt cleanups: DataParallel 'module.' prefixes
+    and HRNet 'model.'/'last_layer' remaps (hrnetv2.py:467-469,
+    wider_resnet.py:406-412)."""
+    out = {}
+    for k, v in state_dict.items():
+        k = k.replace("module.", "").replace("model.", "")
+        k = k.replace("last_layer", "aux_head")
+        out[k] = v
+    return out
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, f"{prefix}{k}/"))
+        else:
+            out[f"{prefix}{k}"] = v
+    return out
+
+
+def _unflatten(flat):
+    out: dict = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
+def convert_state_dict(torch_state: Dict[str, np.ndarray],
+                       flax_params: dict, flax_stats: dict,
+                       key_fn=flax_to_torch_key, strict: bool = True,
+                       log=print) -> Tuple[dict, dict]:
+    """Fill flax params/batch_stats from a torch state dict.
+
+    For each flax leaf, derive the torch key via ``key_fn`` on the module
+    path plus the leaf-name suffix convention:
+      kernel -> .weight (transposed), bias -> .bias,
+      bn scale -> .weight, bn bias -> .bias,
+      bn mean/var -> .running_mean / .running_var.
+    """
+    torch_state = _strip_prefixes(torch_state)
+    new_params = {}
+    new_stats = {}
+    missing = []
+
+    def leaf_key(flat_key: str, collection: str):
+        parts = flat_key.split("/")
+        leaf = parts[-1]
+        # flax BN module is 'bn' inside our Norm wrapper: path .../norm/bn/*
+        mod_path = "/".join(p for p in parts[:-1] if p != "bn")
+        torch_prefix = key_fn(mod_path)
+        if torch_prefix is None:
+            return None
+        if collection == "params":
+            suffix = {"kernel": "weight", "scale": "weight",
+                      "bias": "bias"}[leaf]
+        else:
+            suffix = {"mean": "running_mean", "var": "running_var"}[leaf]
+        return f"{torch_prefix}.{suffix}"
+
+    for flat_key, val in _flatten(flax_params).items():
+        tk = leaf_key(flat_key, "params")
+        if tk is None or tk not in torch_state:
+            missing.append((flat_key, tk))
+            new_params[flat_key] = val
+            continue
+        w = np.asarray(torch_state[tk])
+        if flat_key.endswith("kernel") and w.ndim == 4:
+            w = convert_conv_weight(w)
+        assert w.shape == val.shape, (flat_key, tk, w.shape, val.shape)
+        new_params[flat_key] = w.astype(np.asarray(val).dtype)
+
+    for flat_key, val in _flatten(flax_stats).items():
+        tk = leaf_key(flat_key, "stats")
+        if tk is None or tk not in torch_state:
+            missing.append((flat_key, tk))
+            new_stats[flat_key] = val
+            continue
+        w = np.asarray(torch_state[tk])
+        assert w.shape == val.shape, (flat_key, tk, w.shape, val.shape)
+        new_stats[flat_key] = w.astype(np.asarray(val).dtype)
+
+    if missing:
+        for fk, tk in missing[:20]:
+            log(f"unmatched: {fk} -> {tk}")
+        log(f"{len(missing)} unmatched leaves "
+            f"({len(new_params) + len(new_stats) - len(missing)} converted)")
+        if strict:
+            raise KeyError(f"{len(missing)} unmatched leaves")
+    return _unflatten(new_params), _unflatten(new_stats)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="ocrnet.HRNet_Mscale")
+    ap.add_argument("--torch-ckpt", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--num-classes", type=int, default=19)
+    ap.add_argument("--lenient", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from tpuseg.config import make_config
+    from tpuseg.models import get_model
+
+    ckpt = torch.load(args.torch_ckpt, map_location="cpu")
+    state = ckpt.get("state_dict", ckpt)
+    state = {k: v.numpy() for k, v in state.items()}
+
+    cfg = make_config({"model.arch": args.arch,
+                       "dataset.num_classes": args.num_classes})
+    model = get_model(cfg)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.bfloat16))
+
+    params, stats = convert_state_dict(
+        state, variables["params"], variables.get("batch_stats", {}),
+        strict=not args.lenient)
+
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(args.out),
+               {"params": params, "batch_stats": stats})
+    ckptr.wait_until_finished()
+    print(f"saved {args.out}")
+
+
+if __name__ == "__main__":
+    main()
