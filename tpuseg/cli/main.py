@@ -41,7 +41,8 @@ def load_config(config_path: str | None, sets: list[str]):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="tpuseg")
-    parser.add_argument("command", choices=["train", "eval", "dump"])
+    parser.add_argument("command",
+                        choices=["train", "eval", "dump", "summary"])
     parser.add_argument("--config", default=None, help="YAML recipe")
     parser.add_argument("--set", dest="sets", action="append", default=[],
                         metavar="KEY=VALUE", help="dotted config override")
@@ -74,6 +75,17 @@ def main(argv=None):
 
         evaluate_only(cfg, logdir=args.logdir, eval_mode=args.eval_mode,
                       checkpoint=args.checkpoint, is_primary=is_primary)
+    elif args.command == "summary":
+        # params + compiled FLOPs, replaces the reference's thop --summary
+        # (train.py:385-392)
+        from tpuseg.models import get_model
+        from tpuseg.utils.profiling import model_summary
+
+        h, w = cfg.dataset.crop_size
+        info = model_summary(get_model(cfg), (1, int(h), int(w), 3))
+        print(f"params: {info['params'] / 1e6:.2f}M  "
+              f"fwd GFLOPs: {info['flops'] / 1e9:.1f}  "
+              f"bytes accessed: {info['bytes_accessed'] / 1e9:.2f}GB")
     elif args.command == "dump":
         from tpuseg.train.loop import evaluate_only
 

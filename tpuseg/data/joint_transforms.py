@@ -218,3 +218,80 @@ class JointCompose:
             else:
                 img, mask = t(img, mask, rng)
         return img, mask, scale_float
+
+
+class FreeScale:
+    """Resize to an exact (h, w) (reference: joint_transforms.py:284-291)."""
+
+    def __init__(self, size):
+        self.size = tuple(size)  # (h, w)
+
+    def __call__(self, img, mask, rng=None):
+        wh = (self.size[1], self.size[0])
+        return img.resize(wh, Image.BICUBIC), mask.resize(wh, Image.NEAREST)
+
+
+class RandomRotate:
+    """Rotate both by a uniform angle in [-degree, degree]
+    (reference: joint_transforms.py:304-312)."""
+
+    def __init__(self, degree: float):
+        self.degree = degree
+
+    def __call__(self, img, mask, rng: random.Random):
+        angle = rng.random() * 2 * self.degree - self.degree
+        return (img.rotate(angle, Image.BICUBIC),
+                mask.rotate(angle, Image.NEAREST))
+
+
+class SlidingCrop:
+    """Tile an oversized image into overlapping crop_size windows, returning
+    slices + coordinates for re-assembly
+    (reference: joint_transforms.py:526-576).
+
+    -> (img_slices, mask_slices, slices_info) where each info entry is
+    [sy, ey, sx, ex, sub_h, sub_w].
+    """
+
+    def __init__(self, crop_size: int, stride_rate: float,
+                 ignore_label: int = 255):
+        self.crop_size = crop_size
+        self.stride_rate = stride_rate
+        self.ignore_label = ignore_label
+
+    def _pad(self, img, mask):
+        h, w = img.shape[:2]
+        pad_h = max(self.crop_size - h, 0)
+        pad_w = max(self.crop_size - w, 0)
+        img = np.pad(img, ((0, pad_h), (0, pad_w), (0, 0)))
+        mask = np.pad(mask, ((0, pad_h), (0, pad_w)), mode="constant",
+                      constant_values=self.ignore_label)
+        return img, mask, h, w
+
+    def __call__(self, img, mask, rng=None):
+        import math
+
+        w, h = img.size
+        img = np.array(img)
+        mask = np.array(mask)
+
+        if max(h, w) <= self.crop_size:
+            img, mask, sub_h, sub_w = self._pad(img, mask)
+            return ([Image.fromarray(img.astype(np.uint8))],
+                    [Image.fromarray(mask.astype(np.uint8))],
+                    [[0, sub_h, 0, sub_w, sub_h, sub_w]])
+
+        stride = int(math.ceil(self.crop_size * self.stride_rate))
+        h_steps = int(math.ceil((h - self.crop_size) / float(stride))) + 1
+        w_steps = int(math.ceil((w - self.crop_size) / float(stride))) + 1
+        imgs, masks, infos = [], [], []
+        for yy in range(h_steps):
+            for xx in range(w_steps):
+                sy, sx = yy * stride, xx * stride
+                ey, ex = sy + self.crop_size, sx + self.crop_size
+                sub_i, sub_m, sub_h, sub_w = self._pad(
+                    img[sy:ey, sx:ex], mask[sy:ey, sx:ex])
+                imgs.append(Image.fromarray(sub_i.astype(np.uint8)))
+                masks.append(Image.fromarray(sub_m.astype(np.uint8)))
+                infos.append([sy, ey, sx, ex, sub_h, sub_w])
+        return imgs, masks, infos

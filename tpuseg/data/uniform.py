@@ -38,29 +38,26 @@ def calc_tile_locations(tile_size: int, image_size) -> list:
 def class_centroids_image(item, tile_size: int, num_classes: int,
                           id2trainid: Mapping[int, int] | None):
     """Per-class, per-tile centroids for one mask
-    (reference: uniform.py:84-135)."""
+    (reference: uniform.py:84-135). Uses the native single-pass C++
+    accumulator (tpuseg/native) when available; scipy otherwise."""
+    from tpuseg import native
+
     image_fn, label_fn = item
     centroids = defaultdict(list)
     mask = np.array(Image.open(label_fn))
-    tile_locations = calc_tile_locations(tile_size, mask.shape)
 
     if id2trainid:
-        remapped = np.full(256, 255, dtype=np.uint8)
+        table = np.full(256, 255, dtype=np.uint8)
         for k, v in id2trainid.items():
             if 0 <= k < 256:
-                remapped[k] = v if v >= 0 else 255
-        mask = remapped[mask]
+                table[k] = v if v >= 0 else 255
+        mask = native.remap(mask, table)
 
-    for x_offs, y_offs in tile_locations:
-        patch = mask[y_offs:y_offs + tile_size, x_offs:x_offs + tile_size]
-        present = np.unique(patch)
-        for class_id in present:
-            if class_id >= num_classes:
-                continue
-            cy, cx = center_of_mass((patch == class_id).astype(np.int32))
-            centroid = (int(cx) + x_offs, int(cy) + y_offs)
-            centroids[int(class_id)].append(
-                (image_fn, label_fn, centroid, int(class_id)))
+    per_class = native.tile_class_centroids(mask, tile_size, num_classes)
+    for class_id, points in per_class.items():
+        for centroid in points:
+            centroids[class_id].append(
+                (image_fn, label_fn, tuple(centroid), class_id))
     return centroids
 
 
