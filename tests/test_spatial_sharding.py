@@ -1,0 +1,133 @@
+"""Spatial (H-axis) sharding: conv trunk partitioned across chips with
+XLA-inserted halo exchange — results must match unsharded execution."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuseg.config import make_config
+from tpuseg.models import get_model
+from tpuseg.parallel import (
+    make_mesh,
+    replicate,
+    shard_batch_spatial,
+    spatial_sharding,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    cfg = make_config({
+        "model.arch": "ocrnet.HRNet_Mscale_Tiny",
+        "model.compute_dtype": "float32",
+        "model.remat": False,
+        "model.n_scales": (0.5, 1.0),
+        "dataset.num_classes": 19,
+    })
+    model = get_model(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    return model, model.init(jax.random.PRNGKey(0), x, train=False)
+
+
+def test_spatial_sharding_matches_unsharded(model_and_vars):
+    model, variables = model_and_vars
+    assert len(jax.devices()) == 8
+    # 2 data x 4 spatial mesh
+    mesh = make_mesh(jax.devices(), model_parallelism=4)
+    assert mesh.shape == {"data": 2, "model": 4}
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+
+    fwd = jax.jit(lambda v, xi: model.apply(v, xi, train=False)["pred"])
+    want = np.asarray(fwd(variables, x))
+
+    xs = jax.device_put(x, spatial_sharding(mesh))
+    vs = replicate(mesh, variables)
+    got = fwd(vs, xs)
+    # output stays sharded over (data, model); gather and compare
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_strided_conv_grad_2d_mesh_xla_bug():
+    """Regression marker for the XLA SPMD bug that restricts spatial
+    TRAINING to 1D meshes: a stride-2 conv kernel gradient with H sharded
+    on the non-leading axis of a 2D mesh is silently wrong, while the same
+    program on a 1D mesh is exact. If this test starts failing (i.e. the
+    2D-mesh gradient becomes correct), the restriction in
+    parallel/mesh.py:spatial_sharding can be lifted."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 8, 8, 8), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 8, 16) * 0.1, jnp.float32)
+
+    def loss(w, x):
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(2, 2), padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.sum(y ** 2)
+
+    g = jax.jit(jax.grad(loss))
+    g_ref = np.asarray(g(w, x))
+
+    mesh1d = Mesh(np.asarray(jax.devices()[:2]), ("model",))
+    got_1d = np.asarray(g(
+        jax.device_put(w, NamedSharding(mesh1d, P())),
+        jax.device_put(x, NamedSharding(mesh1d, P(None, "model")))))
+    np.testing.assert_allclose(got_1d, g_ref, rtol=1e-4, atol=1e-4)
+
+    mesh2d = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                  ("data", "model"))
+    got_2d = np.asarray(g(
+        jax.device_put(w, NamedSharding(mesh2d, P())),
+        jax.device_put(x, NamedSharding(mesh2d, P(None, "model")))))
+    rel = np.abs(got_2d - g_ref).max() / np.abs(g_ref).max()
+    assert rel > 0.1, (
+        "2D-mesh strided-conv gradient is now CORRECT — the upstream XLA "
+        "bug is fixed; lift the training restriction in "
+        "parallel/mesh.py:spatial_sharding")
+
+
+def test_spatial_train_step_matches(model_and_vars):
+    """Full train step with images sharded over height on a PURE-SPATIAL 1D
+    mesh: gradients (hence updated params) must match the replicated run —
+    halo exchange is exact, not an approximation. (2D meshes: see the XLA
+    bug regression test above.)"""
+    from tpuseg.losses import get_loss
+    from tpuseg.train import create_train_state, make_optimizer, \
+        make_train_step
+
+    cfg = make_config({
+        "model.arch": "ocrnet.HRNet_Mscale_Tiny",
+        "model.compute_dtype": "float32",
+        "model.remat": False,
+        "dataset.num_classes": 19,
+        "loss.loss_type": "ce",
+    })
+    model = get_model(cfg)
+    criterion, _ = get_loss(cfg)
+    tx, _ = make_optimizer(cfg, 10)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)))
+
+    rngkey = jax.random.PRNGKey(1)
+    rng = np.random.RandomState(1)
+    batch = {"image": jnp.asarray(rng.randn(2, 32, 32, 3), jnp.float32),
+             "label": jnp.asarray(rng.randint(0, 19, (2, 32, 32)), jnp.int32)}
+
+    step = jax.jit(make_train_step(model, criterion))
+    s_ref, m_ref = step(state, batch, rngkey)
+
+    # pure-spatial 1D mesh: data axis of size 1
+    mesh = make_mesh(jax.devices()[:4], model_parallelism=4)
+    assert mesh.shape == {"data": 1, "model": 4}
+    sharded = shard_batch_spatial(mesh, batch)
+    s_sp, m_sp = step(replicate(mesh, state), sharded, rngkey)
+
+    np.testing.assert_allclose(float(m_sp["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    a = jax.tree.leaves(s_sp.params)[0]
+    b = jax.tree.leaves(s_ref.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)

@@ -140,10 +140,11 @@ def max_pool2d(x: jnp.ndarray, window: int, stride: int | None = None,
     import jax
 
     stride = stride or window
-    neg = jnp.finfo(jnp.float32).min
+    # -inf init (not finfo.min): JAX's reduce_window autodiff rule only
+    # recognizes the (-inf, max) monoid
     return jax.lax.reduce_window(
         x.astype(jnp.float32),
-        neg,
+        -jnp.inf,
         jax.lax.max,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, stride, stride, 1),

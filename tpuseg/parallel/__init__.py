@@ -1,8 +1,11 @@
 from tpuseg.parallel.mesh import (
     make_mesh,
     shard_batch,
+    shard_batch_spatial,
     replicate,
     batch_sharding,
+    spatial_sharding,
 )
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "batch_sharding"]
+__all__ = ["make_mesh", "shard_batch", "shard_batch_spatial", "replicate",
+           "batch_sharding", "spatial_sharding"]

@@ -40,6 +40,36 @@ def batch_sharding(mesh: Mesh, data_axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(data_axis))
 
 
+def spatial_sharding(mesh: Mesh, data_axis: str = "data",
+                     model_axis: str = "model") -> NamedSharding:
+    """(B, H, W, C) sharded over batch x image-height.
+
+    Sharding H over the ``model`` axis makes XLA partition every conv
+    spatially and insert halo exchanges over ICI automatically — the
+    segmentation analogue of sequence/context parallelism (SURVEY §5.7),
+    for whole-image crops (bs=1/chip at 1024x2048) or >2x-scale / 8k-class
+    imagery that won't fit one chip's HBM.
+
+    KNOWN XLA BUG (jax 0.9.0): on a >=2D mesh, the KERNEL GRADIENT of a
+    strided conv with H sharded on the non-leading mesh axis is silently
+    wrong (minimal repro in tests/test_spatial_sharding.py; 1D meshes and
+    all forward passes are exact). Until fixed upstream, use spatial
+    sharding for inference on any mesh, and for TRAINING only on a pure-
+    spatial 1D mesh.
+    """
+    return NamedSharding(mesh, P(data_axis, model_axis))
+
+
+def shard_batch_spatial(mesh: Mesh, batch, data_axis: str = "data",
+                        model_axis: str = "model"):
+    """Place a host batch with images sharded over (data, model) axes;
+    labels shard the same way on H."""
+    import jax
+
+    sharding = spatial_sharding(mesh, data_axis, model_axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
 def shard_batch(mesh: Mesh, batch, data_axis: str = "data"):
     """Place a host batch onto the mesh, sharded over the data axis."""
     sharding = batch_sharding(mesh, data_axis)
