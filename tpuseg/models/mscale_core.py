@@ -69,8 +69,14 @@ def nscale_fuse(fwd: ForwardFn, x_1x: jnp.ndarray, scales,
                 align_corners: bool = False) -> Dict[str, jnp.ndarray]:
     """Inference-time hierarchical N-scale fusion (reference: ocrnet.py:185-262).
 
-    ``scales`` must contain 1.0 (the target scale). Returns 'pred', 'aux',
-    and per-scale 'pred_{s}x' / 'attn_{s}x' assets.
+    ``scales`` must contain 1.0 (the target scale). Returns 'pred', 'aux'
+    (only when the forward provides 'aux_out'), and per-scale
+    'pred_{s}x' / 'attn_{s}x' assets.
+
+    Perf note: the aux chain is only consumed by training losses; at
+    inference, have ``fwd`` omit 'aux_out' to skip ~19 channels of f32
+    full-resolution resizes per scale (the reference wastes this work,
+    ocrnet.py:241-252 — 'pred' is unaffected).
     """
     assert 1.0 in [float(s) for s in scales], "1.0 must be among eval scales"
     scales = sorted([float(s) for s in scales], reverse=True)

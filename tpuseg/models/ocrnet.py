@@ -81,23 +81,28 @@ class MscaleOCR(nn.Module):
                                    dropout=self.attn_dropout,
                                    dtype=self.dtype, name="scale_attn")
 
-    def single_scale(self, x, train: bool = False):
+    def single_scale(self, x, train: bool = False, need_aux: bool = True):
         """One full trunk+OCR+attention pass, outputs at input resolution
-        (reference _fwd: ocrnet.py:170-183)."""
+        (reference _fwd: ocrnet.py:170-183). ``need_aux=False`` skips the
+        full-resolution aux upsample — the aux logits only feed training
+        losses, so inference drops ~19 channels of f32 resize per scale."""
         _, _, high = self.backbone(x, train)
         cls_out, aux_out, ocr_mid = self.ocr(high, train)
         attn = self.scale_attn(ocr_mid, train)
-        size = x.shape[-3:-1]
-        return {
+        out = {
             "cls_out": scale_as(cls_out.astype(jnp.float32), x, self.align_corners),
-            "aux_out": scale_as(aux_out.astype(jnp.float32), x, self.align_corners),
             "logit_attn": scale_as(attn, x, self.align_corners),
         }
+        if need_aux:
+            out["aux_out"] = scale_as(aux_out.astype(jnp.float32), x,
+                                      self.align_corners)
+        return out
 
     def __call__(self, x, train: bool = False):
-        fwd = lambda xi: self.single_scale(xi, train)
         if not train and self.n_scales:
+            fwd = lambda xi: self.single_scale(xi, train, need_aux=False)
             return nscale_fuse(fwd, x, self.n_scales, self.align_corners)
+        fwd = lambda xi: self.single_scale(xi, train)
         return two_scale_fuse(fwd, x, self.lo_scale, self.align_corners)
 
 

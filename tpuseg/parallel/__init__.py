@@ -5,7 +5,9 @@ from tpuseg.parallel.mesh import (
     replicate,
     batch_sharding,
     spatial_sharding,
+    multihost_sum,
+    sync_hosts,
 )
 
 __all__ = ["make_mesh", "shard_batch", "shard_batch_spatial", "replicate",
-           "batch_sharding", "spatial_sharding"]
+           "batch_sharding", "spatial_sharding", "multihost_sum", "sync_hosts"]

@@ -80,3 +80,24 @@ def replicate(mesh: Mesh, tree):
     """Fully replicate a pytree (train state) over the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def multihost_sum(x: np.ndarray) -> np.ndarray:
+    """Sum a host-local numpy array across all hosts (the reference's
+    IoU-hist/loss NCCL allreduce, utils/misc.py:110-114, train.py:495-497).
+    No-op in single-process runs."""
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.asarray(x))
+    return np.asarray(gathered).sum(axis=0)
+
+
+def sync_hosts():
+    """Barrier across hosts (the reference's centroid-build barrier,
+    datasets/uniform.py:265)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("tpuseg_barrier")

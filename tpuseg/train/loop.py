@@ -28,6 +28,7 @@ from tpuseg.evaluation.metrics import (
 from tpuseg.losses import get_loss
 from tpuseg.models import get_model
 from tpuseg.parallel import make_mesh, replicate, shard_batch
+from tpuseg.parallel.mesh import multihost_sum
 from tpuseg.train.checkpoint import AutoResume, CheckpointManager, \
     load_snapshot
 from tpuseg.train.optim import make_optimizer
@@ -235,6 +236,7 @@ class Trainer:
             dumper.write_webpage()
             return None
 
+        total_hist = multihost_sum(total_hist)
         metrics = eval_metrics_from_hist(total_hist)
         class_names = list(getattr(self.val_loader.dataset,
                                    "trainid_to_name", {}).values()) or None
@@ -339,6 +341,7 @@ def evaluate_only(cfg: Config, logdir: str = "logs",
             logger.msg(f"eval [{val_idx}/{len(val_loader)}]")
     dumper.write_webpage()
     if calc_metrics:
+        total_hist = multihost_sum(total_hist)
         metrics = eval_metrics_from_hist(total_hist)
         class_names = list(getattr(val_loader.dataset, "trainid_to_name",
                                    {}).values()) or None
