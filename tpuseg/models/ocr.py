@@ -49,10 +49,10 @@ class ObjectAttention(nn.Module):
 
     ``use_pallas`` switches the sim/softmax/context chain to the fused
     Pallas kernel (tpuseg/kernels/ocr_attention.py). Measured on v5e at the
-    2.0x-eval workload (N=131k, K=19, d=256): XLA's own fusion runs this
-    chain at 0.59 ms vs 1.03 ms for the first-cut kernel, so the default
-    stays on the XLA path until the kernel wins (tracked for the perf
-    round).
+    2.0x-eval workload (N=131k, K=19, d=256): XLA's own fusion wins
+    (~0.12 ms vs ~0.34 ms for the tuned kernel with parallel grid
+    semantics), and the op is <1% of pipeline time — the default stays on
+    the XLA path.
     """
 
     key_channels: int
