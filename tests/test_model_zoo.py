@@ -153,3 +153,13 @@ def test_attnscale_paired():
         assert np.isfinite(np.asarray(out[k])).all()
     out = run_model(m, train=True)  # trains on (0.5, 1.0)
     assert out["pred"].shape == (1, 32, 32, NC)
+
+
+def test_ocrnet_aspp():
+    from tpuseg.models.hrnet import TINY_SPEC
+    from tpuseg.models.ocrnet import OCRNetASPP
+    m = OCRNetASPP(num_classes=NC, spec=TINY_SPEC, mid_channels=32,
+                   key_channels=16, dtype=jnp.float32)
+    out = run_model(m)
+    assert out["pred"].shape == (1, 32, 32, NC)
+    assert out["aux"].shape == (1, 32, 32, NC)

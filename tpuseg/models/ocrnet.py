@@ -50,6 +50,40 @@ class OCRNet(nn.Module):
         }
 
 
+class OCRNetASPP(nn.Module):
+    """trunk -> ASPP -> OCR -> cls+aux (reference: network/ocrnet.py:125-155)."""
+
+    num_classes: int
+    spec: HRNetSpec = W48_SPEC
+    mid_channels: int = 512
+    key_channels: int = 256
+    align_corners: bool = False
+    remat: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    def setup(self):
+        from tpuseg.models.heads import make_aspp
+
+        self.backbone = HRNetV2(self.spec, self.align_corners, self.remat,
+                                self.dtype, name="backbone")
+        self.aspp, _ = make_aspp(256, output_stride=8,
+                                 align_corners=self.align_corners,
+                                 dtype=self.dtype, name="aspp")
+        self.ocr = OCRBlock(self.num_classes, self.mid_channels,
+                            self.key_channels, self.dtype, name="ocr")
+
+    def __call__(self, x, train: bool = False):
+        _, _, high = self.backbone(x, train)
+        aspp = self.aspp(high, train)
+        cls_out, aux_out, _ = self.ocr(aspp, train)
+        return {
+            "pred": scale_as(cls_out.astype(jnp.float32), x,
+                             self.align_corners),
+            "aux": scale_as(aux_out.astype(jnp.float32), x,
+                            self.align_corners),
+        }
+
+
 class MscaleOCR(nn.Module):
     """Hierarchical multi-scale attention over HRNet-OCR — "the" model
     (reference: network/ocrnet.py:158-334).
@@ -120,6 +154,11 @@ def _common(cfg):
 def HRNet(cfg):
     """Factory: plain HRNet-OCR (reference: ocrnet.py:337-338)."""
     return OCRNet(spec=W48_SPEC, **_common(cfg))
+
+
+def HRNet_ASPP_OCR(cfg):
+    """Factory: HRNet -> ASPP -> OCR (reference OCRNetASPP: ocrnet.py:125)."""
+    return OCRNetASPP(spec=W48_SPEC, **_common(cfg))
 
 
 def HRNet_Mscale(cfg):
