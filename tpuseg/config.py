@@ -46,6 +46,7 @@ class DatasetConfig:
     centroid_root: str = ""
     translate_aug_fix: bool = False
     mapillary_crop_val: bool = False
+    mask_out_cityscapes: bool = False  # ego-vehicle drop mask on pseudo-labels
     dump_images: bool = False
     # augmentation knobs (reference: train.py args --scale_min/--scale_max/
     # --pre_size/--color_aug/--gblur/--bblur/--rand_augment)

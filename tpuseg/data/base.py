@@ -105,7 +105,10 @@ class BaseDataset:
         is_custom_coarse = bool(
             mask_path and self.dcfg.cityscapes_customcoarse and
             self.dcfg.cityscapes_customcoarse in mask_path)
-        mask_out = bool(self.dcfg.custom_coarse_prob and is_custom_coarse)
+        # drop mask only under the explicit flag (reference:
+        # base_loader.py:206-208: MASK_OUT_CITYSCAPES and custom_coarse)
+        mask_out = bool(self.dcfg.mask_out_cityscapes and
+                        self.dcfg.custom_coarse_prob and is_custom_coarse)
 
         img, mask, img_name = self.read_images(img_path, mask_path, mask_out)
         if is_custom_coarse and self.dcfg.custom_coarse_prob:

@@ -85,8 +85,12 @@ class ImageDumper:
                 continue
 
             if self.dump_for_auto_labelling:
-                # prediction + confidence map (reference: misc.py:310-314)
-                Image.fromarray(prediction.astype(np.uint8)).save(
+                # prediction (trainId -> labelId, same remap as submission)
+                # + confidence map (reference: misc.py:310-324 — both dump
+                # paths write labelId-space PNGs, which is what the
+                # custom-coarse loader's id->trainId remap expects)
+                submit = self.trainid_to_id[prediction.astype(np.int64)]
+                Image.fromarray(submit.astype(np.uint8)).save(
                     os.path.join(self.dump_dir, f"{img_name}.png"))
                 prob = np.asarray(dump_dict["assets"]["prob_mask"][idx])
                 Image.fromarray((prob * 255).astype(np.uint8)).save(
