@@ -149,3 +149,33 @@ def test_conv_bn_numeric_parity():
     got = m.apply({"params": params, "batch_stats": stats}, jnp.asarray(x),
                   train=False)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_orbax_save_then_snapshot_load(tiny_mscale, tmp_path):
+    """Converted trees survive the orbax save -> load_snapshot path used by
+    the CLI (--checkpoint) and Trainer (train.snapshot)."""
+    import orbax.checkpoint as ocp
+
+    from tpuseg.train.checkpoint import load_snapshot
+
+    _, variables = tiny_mscale
+    rng = np.random.RandomState(3)
+    params = jax.tree.map(
+        lambda a: np.asarray(rng.randn(*np.shape(a)), np.float32),
+        variables["params"])
+    stats = jax.tree.map(
+        lambda a: np.asarray(rng.randn(*np.shape(a)), np.float32),
+        variables["batch_stats"])
+
+    path = str(tmp_path / "ckpt")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": params, "batch_stats": stats})
+    ckptr.wait_until_finished()
+
+    loaded_p, loaded_s = load_snapshot(path, variables["params"],
+                                       variables["batch_stats"],
+                                       log=lambda *_: None)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded_p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(stats), jax.tree.leaves(loaded_s)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -202,3 +202,14 @@ def test_sharded_sampler():
     e0 = list(s0)
     s0.set_epoch(1)
     assert list(s0) != e0
+
+
+def test_dump_augmentation_images(fake_cityscapes, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(fake_cityscapes, str(tmp_path), **{"dataset.dump_images": True})
+    _, _, train_set = setup_data(cfg)
+    train_set[0]
+    out = tmp_path / "dump_augmentation_images_train"
+    files = list(out.iterdir())
+    assert any(f.name.endswith("_mask.png") for f in files)
+    assert any(f.name.endswith("_mask_raw.png") for f in files)

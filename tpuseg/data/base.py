@@ -93,6 +93,23 @@ class BaseDataset:
         arr[prob < self.dcfg.custom_coarse_prob] = self.ignore_label
         return Image.fromarray(arr.astype(np.uint8))
 
+    def _dump_augmentation(self, img, mask, img_name, centroid, class_id):
+        """Visual sanity-check of the augmentation pipeline
+        (reference dump_images: base_loader.py:102-118)."""
+        outdir = f"dump_augmentation_images_{self.mode}"
+        os.makedirs(outdir, exist_ok=True)
+        name = img_name
+        if centroid is not None and class_id is not None:
+            name = f"{self.trainid_to_name.get(class_id, class_id)}_{name}"
+        img.save(os.path.join(outdir, f"{name}.png"))
+        arr = np.array(mask, dtype=np.int64)
+        if self.palette is not None:
+            colored = self.palette[arr % 256].astype(np.uint8)
+            Image.fromarray(colored).save(
+                os.path.join(outdir, f"{name}_mask.png"))
+        Image.fromarray(np.array(mask, dtype=np.uint8)).save(
+            os.path.join(outdir, f"{name}_mask_raw.png"))
+
     # -- sample assembly ------------------------------------------------------
     def __getitem__(self, index: int):
         rec = self.imgs[index]
@@ -122,6 +139,9 @@ class BaseDataset:
                 img, mask, rng, centroid)
         if self.img_transform is not None:
             img = self.img_transform(img, rng)
+
+        if self.dcfg.dump_images:
+            self._dump_augmentation(img, mask, img_name, centroid, class_id)
 
         image = to_normalized_array(img, self.dcfg.mean, self.dcfg.std)
         if self.label_transform is not None:
