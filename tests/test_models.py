@@ -163,3 +163,23 @@ def test_nscale_matches_reference_recursion():
     want = pred.numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(np.asarray(got["pred"]), want,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fusion_dtype_bf16_close_to_f32():
+    """bfloat16 fusion chains keep predictions essentially identical —
+    the knob trades exact parity for halved full-res HBM traffic."""
+    from tpuseg.models import get_model
+
+    outs = {}
+    for fdt in ("float32", "bfloat16"):
+        cfg = tiny_cfg(**{"model.n_scales": (0.5, 1.0, 2.0),
+                          "model.eval_fusion_dtype": fdt})
+        model = get_model(cfg)
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3),
+                        jnp.float32)
+        vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+        outs[fdt] = model.apply(vars_, x, train=False)["pred"]
+    a = np.argmax(np.asarray(outs["float32"]), -1)
+    b = np.argmax(np.asarray(outs["bfloat16"]), -1)
+    assert (a == b).mean() > 0.95
+    assert outs["bfloat16"].dtype == jnp.float32  # final cast preserved

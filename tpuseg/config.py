@@ -111,6 +111,9 @@ class ModelConfig:
     # the reference used @amp.float_function (resize, attention softmax).
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # eval-time fusion-chain dtype: float32 = exact reference parity;
+    # bfloat16 trades <0.1 mIoU for halved full-res HBM traffic
+    eval_fusion_dtype: str = "float32"
     # rematerialization of trunk stages — the reference's dead --grad_ckpt
     # flag (config.py:355-356) made live: needed for 1024x2048 crops.
     remat: bool = True

@@ -88,9 +88,13 @@ def nscale_fuse(fwd: ForwardFn, x_1x: jnp.ndarray, scales,
     for s in scales:
         x = resize_x(x_1x, s, align_corners) if s != 1.0 else x_1x
         o = fwd(x)
-        cls_out = o["cls_out"].astype(jnp.float32)
-        attn_out = o["logit_attn"].astype(jnp.float32)
-        aux_out = o["aux_out"].astype(jnp.float32) if "aux_out" in o else None
+        # fusion arithmetic inherits the forward's output dtype: f32 by
+        # default (parity), bf16 when the model opts into fast fusion
+        # (halves HBM traffic of the full-res chains; the reference itself
+        # runs Mapillary eval in pure fp16 O3, README.md:73)
+        cls_out = o["cls_out"]
+        attn_out = o["logit_attn"].astype(cls_out.dtype)
+        aux_out = o["aux_out"] if "aux_out" in o else None
 
         out[fmt_scale("pred", s)] = cls_out
         if s != 2.0:
@@ -114,7 +118,7 @@ def nscale_fuse(fwd: ForwardFn, x_1x: jnp.ndarray, scales,
                 aux_up = scale_as(attn_out * aux_out, pred, align_corners)
                 aux = aux_up + (1.0 - attn_up) * aux
 
-    out["pred"] = pred
+    out["pred"] = pred.astype(jnp.float32)
     if aux is not None:
-        out["aux"] = aux
+        out["aux"] = aux.astype(jnp.float32)
     return out

@@ -104,6 +104,11 @@ class MscaleOCR(nn.Module):
     attn_dropout: bool = False
     remat: bool = False
     dtype: Dtype = jnp.bfloat16
+    # dtype of the full-resolution upsample + fusion chains at EVAL time.
+    # float32 reproduces the reference's AMP-O1 fp32 islands exactly;
+    # bfloat16 halves the dominant HBM traffic (the reference itself runs
+    # Mapillary eval in pure fp16 O3, README.md:73).
+    fusion_dtype: str = "float32"
 
     def setup(self):
         self.backbone = HRNetV2(self.spec, self.align_corners, self.remat,
@@ -123,12 +128,13 @@ class MscaleOCR(nn.Module):
         _, _, high = self.backbone(x, train)
         cls_out, aux_out, ocr_mid = self.ocr(high, train)
         attn = self.scale_attn(ocr_mid, train)
+        fdt = jnp.dtype(self.fusion_dtype) if not train else jnp.float32
         out = {
-            "cls_out": scale_as(cls_out.astype(jnp.float32), x, self.align_corners),
-            "logit_attn": scale_as(attn, x, self.align_corners),
+            "cls_out": scale_as(cls_out.astype(fdt), x, self.align_corners),
+            "logit_attn": scale_as(attn.astype(fdt), x, self.align_corners),
         }
         if need_aux:
-            out["aux_out"] = scale_as(aux_out.astype(jnp.float32), x,
+            out["aux_out"] = scale_as(aux_out.astype(fdt), x,
                                       self.align_corners)
         return out
 
@@ -170,6 +176,7 @@ def HRNet_Mscale(cfg):
         attn_bot_ch=cfg.model.segattn_bot_ch,
         attn_inner_3x3=cfg.model.mscale_inner_3x3,
         attn_dropout=cfg.model.mscale_dropout,
+        fusion_dtype=cfg.model.eval_fusion_dtype,
         **_common(cfg),
     )
 
@@ -182,5 +189,6 @@ def HRNet_Mscale_Tiny(cfg):
         lo_scale=cfg.model.mscale_lo_scale,
         attn_bot_ch=16,
         attn_inner_3x3=cfg.model.mscale_inner_3x3,
+        fusion_dtype=cfg.model.eval_fusion_dtype,
         **{**_common(cfg), "mid_channels": 32, "key_channels": 16},
     )
