@@ -158,3 +158,27 @@ def test_cli_config_parsing(tmp_path):
     assert cfg.optim.lr == 0.01
     assert cfg.train.batch_size == 4
     assert cfg.eval.scales == (0.5, 1.0, 2.0)
+
+
+def test_eval_runner_pad_multiple(fake_cityscapes, tmp_path):
+    """Shape bucketing: ragged val sizes share one compiled graph; hist is
+    exact because padded labels are ignore."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.evaluation.inference import EvalRunner
+    from tpuseg.models import get_model
+
+    cfg = engine_cfg(fake_cityscapes, str(tmp_path))
+    model = get_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                           train=False)
+
+    runner = EvalRunner(model, 19, is_mscale=True, pad_multiple=32)
+    rng = np.random.RandomState(0)
+    for h, w in [(33, 57), (40, 64), (33, 57)]:
+        batch = {"image": rng.randn(1, h, w, 3).astype(np.float32),
+                 "label": rng.randint(0, 19, (1, h, w)).astype(np.int32)}
+        assets, hist, _ = runner.run_batch(variables, batch)
+        assert assets["predictions"].shape == (1, h, w)
+        assert hist.sum() == h * w  # padded ignore pixels excluded

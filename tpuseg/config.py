@@ -185,6 +185,10 @@ class EvalConfig:
     dump_for_auto_labelling: bool = False
     dump_for_submission: bool = False
     result_dir: str | None = None
+    # bucket variable-size val images by padding H/W to this multiple
+    # (one compiled graph per bucket instead of per exact shape); None =
+    # exact shapes (reference behavior)
+    pad_multiple: int | None = None
 
 
 @dataclass(frozen=True)

@@ -100,23 +100,58 @@ class EvalRunner:
 
     Replaces the body of validate() + eval_minibatch
     (reference: train.py:536-597, trnval_utils.py:82-198).
+
+    ``pad_multiple`` buckets variable-size val images (Mapillary) by
+    padding H/W up to a multiple before the forward and cropping outputs
+    back — every image in a bucket shares one compiled graph instead of
+    recompiling per exact shape (SURVEY §7 hard part #3). Padded label
+    pixels are ignore, so the confusion matrix is exact; predictions can
+    shift slightly near the padded border (off by default).
     """
 
     def __init__(self, model, num_classes: int, scales=(1.0,),
                  do_flip: bool = False, align_corners: bool = False,
                  is_mscale: bool = True, ignore_label: int = 255,
-                 criterion: Optional[Callable] = None):
+                 criterion: Optional[Callable] = None,
+                 pad_multiple: Optional[int] = None):
         self.num_classes = num_classes
         self.ignore_label = ignore_label
         self.criterion = criterion
+        self.pad_multiple = pad_multiple
         self.forward = make_eval_forward(model, num_classes, scales, do_flip,
                                          align_corners, is_mscale)
 
+    def _pad(self, image: np.ndarray, label: np.ndarray):
+        m = self.pad_multiple
+        h, w = image.shape[1:3]
+        ph = (-h) % m
+        pw = (-w) % m
+        if ph == 0 and pw == 0:
+            return image, label, (h, w)
+        image = np.pad(image, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        label = np.pad(label, ((0, 0), (0, ph), (0, pw)), mode="constant",
+                       constant_values=self.ignore_label)
+        return image, label, (h, w)
+
     def run_batch(self, variables, batch, calc_metrics: bool = True):
-        image = jnp.asarray(batch["image"])
-        label = jnp.asarray(batch["label"])
+        image = np.asarray(batch["image"])
+        label = np.asarray(batch["label"])
+        orig_hw = None
+        if self.pad_multiple:
+            image, label, orig_hw = self._pad(image, label)
+        image = jnp.asarray(image)
+        label = jnp.asarray(label)
         output, pred, prob, hist, assets = self.forward(variables, image,
                                                         label)
+        if orig_hw is not None:
+            h, w = orig_hw
+            output = output[:, :h, :w]
+            pred = pred[:, :h, :w]
+            prob = prob[:, :h, :w]
+            assets = {k: v[:, :h, :w] if v.ndim >= 3 and
+                      v.shape[1] >= h and v.shape[2] >= w else v
+                      for k, v in assets.items()}
+            label = label[:, :h, :w]
         pred_np = np.asarray(pred)
         out = {
             "predictions": pred_np,

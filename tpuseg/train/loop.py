@@ -196,7 +196,8 @@ class Trainer:
             align_corners=cfg.model.align_corners,
             is_mscale=infer_mscale(cfg),
             ignore_label=cfg.dataset.ignore_label,
-            criterion=self.val_criterion if calc_metrics else None)
+            criterion=self.val_criterion if calc_metrics else None,
+            pad_multiple=cfg.eval.pad_multiple)
 
         palette = getattr(self.val_loader.dataset, "palette", None)
         from tpuseg.data.cityscapes_labels import TRAINID_TO_ID
@@ -308,7 +309,8 @@ def evaluate_only(cfg: Config, logdir: str = "logs",
         do_flip=cfg.eval.do_flip, align_corners=cfg.model.align_corners,
         is_mscale=infer_mscale(cfg),
         ignore_label=cfg.dataset.ignore_label,
-        criterion=val_criterion)
+        criterion=val_criterion,
+        pad_multiple=cfg.eval.pad_multiple)
 
     calc_metrics = eval_mode != "folder" and \
         not cfg.eval.dump_for_auto_labelling and \
