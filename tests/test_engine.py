@@ -182,3 +182,41 @@ def test_eval_runner_pad_multiple(fake_cityscapes, tmp_path):
         assets, hist, _ = runner.run_batch(variables, batch)
         assert assets["predictions"].shape == (1, h, w)
         assert hist.sum() == h * w  # padded ignore pixels excluded
+
+
+def test_folder_mode_and_submission(fake_cityscapes, tmp_path):
+    """Folder inference (no masks) + submission dumps (trainId->labelId)
+    (reference: train.py:422-426, datasets/utils.py:4, misc.py:316-324)."""
+    import dataclasses
+
+    from tpuseg.train.loop import evaluate_only
+
+    folder = tmp_path / "imgs"
+    folder.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)).save(
+            folder / f"img{i}.png")
+
+    cfg = engine_cfg(fake_cityscapes, str(tmp_path))
+    cfg = cfg.replace(
+        dataset=dataclasses.replace(cfg.dataset, eval_folder=str(folder)),
+        eval=dataclasses.replace(cfg.eval, dump_all_images=True))
+    logdir = str(tmp_path / "folderlogs")
+    result = evaluate_only(cfg, logdir=logdir, eval_mode="folder")
+    assert result is None  # no metrics without ground truth
+    files = os.listdir(os.path.join(logdir, "eval_images"))
+    assert sum(f.endswith("_prediction.png") for f in files) == 2
+
+    # submission mode: trainId -> labelId PNGs in submit/
+    cfg2 = cfg.replace(eval=dataclasses.replace(
+        cfg.eval, dump_for_submission=True, dump_all_images=False))
+    logdir2 = str(tmp_path / "subflogs")
+    evaluate_only(cfg2, logdir=logdir2, eval_mode="folder")
+    sub = os.path.join(logdir2, "eval_images", "submit")
+    subs = [f for f in os.listdir(sub) if f.endswith(".png")]
+    assert len(subs) == 2
+    arr = np.array(Image.open(os.path.join(sub, subs[0])))
+    # values are raw label ids (7..33 range for predicted classes), not
+    # trainIds 0..18
+    assert arr.max() >= 7

@@ -146,6 +146,8 @@ class ImageDumper:
 
     def write_webpage(self):
         """HTML gallery (reference: misc.py:388-417 + results_page.py)."""
+        if self.dump_for_submission or self.dump_for_auto_labelling:
+            return  # machine-consumed outputs only
         page = ResultsPage("tpuseg results",
                            os.path.join(self.dump_dir, "index.html"))
         for img_name, rows in self.imgs_to_webpage:
