@@ -79,6 +79,19 @@ def test_trainer_fit_end_to_end(fake_cityscapes, tmp_path):
     trainer2 = Trainer(cfg, logdir=logdir)
     assert trainer2.start_epoch >= 1
 
+    # the restored state must TRAIN: orbax restore without a structure
+    # target loses the optax namedtuples and tx.update crashes (regression)
+    import jax
+    from tpuseg.parallel import shard_batch
+
+    batch = next(iter(trainer2.train_loader))
+    db = shard_batch(trainer2.mesh, {"image": batch["image"],
+                                     "label": batch["label"]})
+    step_fn = trainer2._get_train_step(False)
+    state, metrics = step_fn(trainer2.state, db, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == int(trainer2.state.step) + 1
+
 
 def test_eval_runner_avgpool_and_flip(fake_cityscapes, tmp_path):
     """Outer flip x extra-scale averaging (reference:

@@ -106,3 +106,31 @@ def test_poly_schedule_epoch_quantized(setup):
     # epoch-granular (reference uses per-epoch LambdaLR)
     assert sched(0) == sched(9)
     assert sched(10) < sched(9)
+
+
+@pytest.mark.parametrize("arch", ["deepv3.DeepV3PlusW38Tiny",
+                                  "mscale.DeepV3W38Tiny"])
+def test_train_step_no_aux_archs(arch):
+    """Non-OCR archs return {'pred'} only — the train step must not
+    require an 'aux' output (regression: KeyError('aux') at first step
+    for the shipped deepv3 recipe)."""
+    cfg = make_config({
+        "model.arch": arch,
+        "model.compute_dtype": "float32",
+        "model.remat": False,
+        "dataset.num_classes": 19,
+        "dataset.crop_size": (32, 32),
+        "train.batch_size": 2,
+        "loss.loss_type": "ce",
+    })
+    model = get_model(cfg)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=10)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3)))
+    criterion, _ = get_loss(cfg)
+    step = jax.jit(make_train_step(model, criterion,
+                                   ocr_alpha=cfg.loss.ocr_alpha))
+    batch = jax.tree.map(jnp.asarray, _batch(cfg, 2))
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1

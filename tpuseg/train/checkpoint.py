@@ -89,11 +89,36 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
 
-    def restore(self, step: Optional[int] = None) -> Optional[dict]:
+    def restore(self, step: Optional[int] = None,
+                target_state=None) -> Optional[dict]:
+        """Restore a checkpoint payload.
+
+        ``target_state`` (a live TrainState) supplies the pytree structure:
+        without it, orbax's StandardRestore returns the opt_state as plain
+        lists/dicts (losing the optax namedtuples), and the first
+        ``tx.update`` after resume crashes. With it, every container type
+        (ScaleByAdamState etc.) is reconstructed faithfully.
+        """
         step = step if step is not None else self.manager.latest_step()
         if step is None:
             return None
-        return self.manager.restore(step)
+        if target_state is None:
+            return self.manager.restore(step)
+
+        def abstract(x):
+            if hasattr(x, "shape") and hasattr(x, "dtype"):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype)
+            return x
+
+        payload = {
+            "params": target_state.params,
+            "batch_stats": target_state.batch_stats,
+            "opt_state": target_state.opt_state,
+            "meta": {"epoch": 0, "step": 0, "mean_iu": 0.0},
+        }
+        abstract_payload = jax.tree.map(abstract, payload)
+        return self.manager.restore(
+            step, args=ocp.args.StandardRestore(abstract_payload))
 
 
 def load_snapshot(path: str, target_params: dict, target_stats: dict,

@@ -88,6 +88,19 @@ class Trainer:
         self.state = replicate(self.mesh, self.state)
         self._train_step = None
         self._train_step_invert = None
+        # one EvalRunner for the whole run: a fresh runner per validate()
+        # would re-jit the multi-scale eval graph every epoch (minutes per
+        # compile on the remote TPU)
+        self.eval_runner = EvalRunner(
+            self.eval_model, cfg.dataset.num_classes,
+            scales=(1.0,) if not cfg.eval.extra_scales else
+            (1.0, *cfg.eval.extra_scales),
+            do_flip=cfg.eval.do_flip,
+            align_corners=cfg.model.align_corners,
+            is_mscale=infer_mscale(cfg),
+            ignore_label=cfg.dataset.ignore_label,
+            criterion=self.val_criterion,
+            pad_multiple=cfg.eval.pad_multiple)
 
     # ------------------------------------------------------------------
     def _make_eval_model(self):
@@ -104,9 +117,9 @@ class Trainer:
         restored = None
         if cfg.train.resume:
             mgr = CheckpointManager(cfg.train.resume)
-            restored = mgr.restore()
+            restored = mgr.restore(target_state=self.state)
         elif self.ckpt.latest_step() is not None:  # auto-resume
-            restored = self.ckpt.restore()
+            restored = self.ckpt.restore(target_state=self.state)
         if restored is not None:
             self.state = self.state.replace(
                 params=restored["params"],
@@ -158,7 +171,10 @@ class Trainer:
             self.train_set.build_epoch(epoch)
         self.train_loader.set_epoch(epoch)
 
-        losses = AverageMeter()
+        # loss accumulates ON DEVICE every step (true epoch mean, as the
+        # reference's per-iter AverageMeter) and is only read back at log
+        # points — keeps the relay-friendly sync cadence
+        loss_sum = None
         t_start = time.time()
         n_done = 0
         for i, batch in enumerate(self.train_loader):
@@ -167,37 +183,30 @@ class Trainer:
             device_batch = shard_batch(self.mesh, {
                 "image": batch["image"], "label": batch["label"]})
             self.state, metrics = step_fn(self.state, device_batch, rng)
+            loss_sum = metrics["loss"] if loss_sum is None \
+                else loss_sum + metrics["loss"]
             n_done += 1
             if (i + 1) % cfg.train.log_every == 0 or i == 0:
                 loss = float(metrics["loss"])  # device sync point
-                losses.update(loss, batch["image"].shape[0])
+                avg = float(loss_sum) / n_done
                 step = int(self.state.step)
                 lr = float(self.schedule(step))
                 imgs_s = (n_done * batch["image"].shape[0] /
                           max(time.time() - t_start, 1e-6))
                 self.logger.msg(
                     f"epoch {epoch} it {i + 1}/{self.steps_per_epoch} "
-                    f"loss {loss:.4f} (avg {losses.avg:.4f}) lr {lr:.6f} "
+                    f"loss {loss:.4f} (avg {avg:.4f}) lr {lr:.6f} "
                     f"{imgs_s:.2f} img/s")
                 self.logger.metric("train", {"loss": loss, "lr": lr,
                                              "imgs_per_sec": imgs_s}, step)
-        return losses.avg
+        return float(loss_sum) / n_done if n_done else 0.0
 
     # ------------------------------------------------------------------
     def validate(self, epoch: int, dump_assets: bool = False,
                  dump_all_images: bool = False, calc_metrics: bool = True):
         """(reference validate(): train.py:536-597)"""
         cfg = self.cfg
-        runner = EvalRunner(
-            self.eval_model, cfg.dataset.num_classes,
-            scales=(1.0,) if not cfg.eval.extra_scales else
-            (1.0, *cfg.eval.extra_scales),
-            do_flip=cfg.eval.do_flip,
-            align_corners=cfg.model.align_corners,
-            is_mscale=infer_mscale(cfg),
-            ignore_label=cfg.dataset.ignore_label,
-            criterion=self.val_criterion if calc_metrics else None,
-            pad_multiple=cfg.eval.pad_multiple)
+        runner = self.eval_runner
 
         palette = getattr(self.val_loader.dataset, "palette", None)
         from tpuseg.data.cityscapes_labels import TRAINID_TO_ID
@@ -290,7 +299,8 @@ def evaluate_only(cfg: Config, logdir: str = "logs",
                                   seed=cfg.train.seed,
                                   is_primary=is_primary)
 
-    h, w = cfg.dataset.crop_size
+    # param shapes are input-size-independent (all-conv nets), so init on a
+    # small example; eval forwards re-trace per actual input shape
     example = jnp.zeros((1, 64, 64, 3), jnp.dtype(cfg.model.compute_dtype))
     variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
         jax.random.PRNGKey(0), example)

@@ -36,10 +36,13 @@ def make_train_step(
                 batch["image"], train=True,
                 mutable=["batch_stats"], rngs={"dropout": rng})
             labels = batch["label"]
-            aux_loss = criterion(out["aux"], labels, do_rmi=aux_rmi)
-            main_loss = criterion(out["pred"], labels, do_rmi=True)
-            loss = ocr_alpha * aux_loss + main_loss
-            if supervised_mscale_wt:
+            loss = criterion(out["pred"], labels, do_rmi=True)
+            # aux loss exists only for OCR-family models (reference:
+            # ocrnet.py:118,300-311); DeepV3/mscale return {'pred'} only
+            if "aux" in out:
+                loss = loss + ocr_alpha * criterion(
+                    out["aux"], labels, do_rmi=aux_rmi)
+            if supervised_mscale_wt and "pred_05x" in out:
                 p05 = scale_as(out["pred_05x"], out["pred"], align_corners)
                 loss_lo = criterion(p05, labels, do_rmi=False)
                 loss_hi = criterion(out["pred_10x"], labels, do_rmi=False)
