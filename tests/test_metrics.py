@@ -50,7 +50,9 @@ def test_absent_class_is_nan_not_zero():
 
 
 def test_fmt_scale():
-    # reference format (utils/misc.py:504-513)
-    assert fmt_scale("pred", 0.5) == "pred_05x"
-    assert fmt_scale("attn", 1.0) == "attn_10x"
-    assert fmt_scale("pred", 2.0) == "pred_20x"
+    # reference format (utils/misc.py:504-513): the replace('.', '') there
+    # is a no-op on an immutable str, so the dot stays in the key
+    assert fmt_scale("pred", 0.5) == "pred_0.5x"
+    assert fmt_scale("attn", 1.0) == "attn_1.0x"
+    assert fmt_scale("pred", 2.0) == "pred_2.0x"
+    assert fmt_scale("pred", 2) == "pred_2.0x"

@@ -134,7 +134,7 @@ def test_attnscale():
                    dtype=jnp.float32)
         out = run_model(m)
         assert out["pred"].shape == (1, 32, 32, NC)
-        assert "attn_05x" in out and "pred_20x" in out
+        assert "attn_0.5x" in out and "pred_2.0x" in out
 
 
 def test_attnscale_paired():
@@ -148,7 +148,7 @@ def test_attnscale_paired():
     # sigmoid head... (only guaranteed for the first pair chain with bn
     # head when renormalized); just require all asset keys present + finite
     import numpy as np
-    for k in ("attn_05x", "attn_10x", "attn_20x", "pred_05x"):
+    for k in ("attn_0.5x", "attn_1.0x", "attn_2.0x", "pred_0.5x"):
         assert k in out
         assert np.isfinite(np.asarray(out[k])).all()
     out = run_model(m, train=True)  # trains on (0.5, 1.0)

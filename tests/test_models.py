@@ -61,9 +61,10 @@ def test_mscale_eval_output_keys_and_shapes():
     vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
     out = model.apply(vars_, x, train=False)
     assert out["pred"].shape == (1, 64, 64, 19)
-    for key in ["pred_05x", "pred_10x", "pred_20x", "attn_05x", "attn_10x"]:
+    for key in ["pred_0.5x", "pred_1.0x", "pred_2.0x",
+                "attn_0.5x", "attn_1.0x"]:
         assert key in out, key
-    assert "attn_20x" not in out  # reference skips 2.0 attn (ocrnet.py:230-231)
+    assert "attn_2.0x" not in out  # reference skips 2.0 attn (ocrnet.py:230-231)
     assert out["pred"].dtype == jnp.float32
 
 

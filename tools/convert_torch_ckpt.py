@@ -151,6 +151,154 @@ def flax_to_torch_key(flax_path: str) -> str | None:
 
 
 # ---------------------------------------------------------------------------
+# ImageNet trunk checkpoints (reference pretrained loads:
+# wider_resnet.py:399-435, hrnetv2.py:451-477, Resnet.py:44-50,
+# SEresnext.py:44-67, xception.py:270-279)
+# ---------------------------------------------------------------------------
+
+def _wrn38_torch_prefix(p: str) -> str | None:
+    """flax WRN38 (tpuseg/models/wider_resnet.py) -> wider_resnet38.pth.tar
+    keys after 'module.' strip (reference: wider_resnet.py:290-361; BN lives
+    in bnrelu Sequentials, index 0)."""
+    if p == "mod1_conv1":
+        return "mod1.conv1"
+    m = re.match(r"mod(\d)_block(\d+)/(.+)$", p)
+    if not m:
+        return None
+    mod, blk, rest = m.groups()
+    base = f"mod{mod}.block{blk}"
+    if rest == "bn1":
+        return f"{base}.bn1.0"
+    if rest == "proj_conv":
+        return f"{base}.proj_conv"
+    m = re.match(r"conv(\d)$", rest)
+    if m:
+        return f"{base}.convs.conv{m.group(1)}"
+    m = re.match(r"bn([23])$", rest)
+    if m:
+        return f"{base}.convs.bn{m.group(1)}.0"
+    return None
+
+
+def _resnet_block_sub(rest: str) -> str | None:
+    if rest == "downsample_conv":
+        return "downsample.0"
+    if rest == "downsample_bn":
+        return "downsample.1"
+    if re.match(r"(conv|bn)\d$", rest):
+        return rest
+    return None
+
+
+def _resnet_torch_prefix(p: str) -> str | None:
+    """flax ResNet (tpuseg/models/resnet.py) -> torchvision/model-zoo keys
+    (reference: network/Resnet.py:94-194)."""
+    if p in ("conv1", "bn1"):
+        return p
+    m = re.match(r"layer(\d)_block(\d+)/(.+)$", p)
+    if not m:
+        return None
+    layer, blk, rest = m.groups()
+    sub = _resnet_block_sub(rest)
+    return f"layer{layer}.{blk}.{sub}" if sub else None
+
+
+def _seresnext_torch_prefix(p: str) -> str | None:
+    """flax SEResNeXt (tpuseg/models/seresnext.py) -> Cadene pretrained keys
+    (reference: network/SEresnext.py:170-360; stem under layer0, SE module
+    fc convs under se_module)."""
+    if p == "conv1":
+        return "layer0.conv1"
+    if p == "bn1":
+        return "layer0.bn1"
+    m = re.match(r"layer(\d)_block(\d+)/(.+)$", p)
+    if not m:
+        return None
+    layer, blk, rest = m.groups()
+    base = f"layer{layer}.{blk}"
+    m = re.match(r"se/fc(\d)$", rest)
+    if m:
+        return f"{base}.se_module.fc{m.group(1)}"
+    sub = _resnet_block_sub(rest)
+    return f"{base}.{sub}" if sub else None
+
+
+# whether each reference xception Block starts with a ReLU in its `rep`
+# Sequential (start_with_relu, reference: xception.py:120-135): block1/2
+# pass start_with_relu=False, everything else True
+_XCEPTION_NO_RELU_BLOCKS = {1, 2}
+
+
+def _xception_torch_prefix(p: str) -> str | None:
+    """flax Xception71 (tpuseg/models/xception.py) -> aligned_xception71.pth
+    keys (reference: network/xception.py:24-107,110-200). Sequential `rep`
+    packs [relu, SeparableConv2d, BatchNorm] triples, so positional indices
+    depend on start_with_relu."""
+    if re.match(r"(conv|bn)[12]$", p):
+        return p
+    # exit-flow separable convs conv3..conv5 + bn3..bn5
+    m = re.match(r"conv([345])/(depthwise|bn|pointwise)$", p)
+    if m:
+        i, sub = m.groups()
+        part = {"depthwise": "conv1", "bn": "bn", "pointwise": "pointwise"}
+        return f"conv{i}.{part[sub]}"
+    m = re.match(r"bn([345])$", p)
+    if m:
+        return f"bn{m.group(1)}"
+    m = re.match(r"block(\d+)/(.+)$", p)
+    if not m:
+        return None
+    blk, rest = int(m.group(1)), m.group(2)
+    base = f"block{blk}"
+    if rest == "skip_conv":
+        return f"{base}.skip"
+    if rest == "skip_bn":
+        return f"{base}.skipbn"
+    swr = blk not in _XCEPTION_NO_RELU_BLOCKS
+    m = re.match(r"sep(\d+)/(depthwise|bn|pointwise)$", rest)
+    if m:
+        k, sub = int(m.group(1)), m.group(2)
+        idx = 3 * k + (1 if swr else 0)
+        part = {"depthwise": "conv1", "bn": "bn", "pointwise": "pointwise"}
+        return f"{base}.rep.{idx}.{part[sub]}"
+    m = re.match(r"sepbn(\d+)$", rest)
+    if m:
+        k = int(m.group(1))
+        idx = 3 * k + (2 if swr else 1)
+        return f"{base}.rep.{idx}"
+    return None
+
+
+TRUNK_KEY_FNS = {
+    "wrn38": _wrn38_torch_prefix,
+    "resnet-50": _resnet_torch_prefix,
+    "resnet-101": _resnet_torch_prefix,
+    "seresnext-50": _seresnext_torch_prefix,
+    "seresnext-101": _seresnext_torch_prefix,
+    "xception71": _xception_torch_prefix,
+    # HRNet ImageNet checkpoint uses the seg-model keys without the
+    # 'backbone.' prefix ('model.'/'last_layer' remaps happen in
+    # _strip_prefixes, matching hrnetv2.py:467-469)
+    "hrnetv2": _hrnet_torch_prefix,
+}
+
+
+def trunk_key_fn(trunk_name: str, flax_prefix: str = "backbone/"):
+    """key_fn for convert_state_dict: maps the flax ``backbone/`` subtree
+    onto a trunk-only ImageNet checkpoint; non-backbone paths (ocr, heads)
+    return None and keep their fresh init — exactly the reference's
+    trunk-pretrained initialization for training recipes."""
+    fn = TRUNK_KEY_FNS[trunk_name]
+
+    def key_fn(flax_path: str) -> str | None:
+        if flax_prefix and not flax_path.startswith(flax_prefix):
+            return None
+        return fn(flax_path[len(flax_prefix):])
+
+    return key_fn
+
+
+# ---------------------------------------------------------------------------
 # tensor conversion
 # ---------------------------------------------------------------------------
 
@@ -198,6 +346,7 @@ def _unflatten(flat):
 def convert_state_dict(torch_state: Dict[str, np.ndarray],
                        flax_params: dict, flax_stats: dict,
                        key_fn=flax_to_torch_key, strict: bool = True,
+                       strict_prefix: str = "",
                        log=print) -> Tuple[dict, dict]:
     """Fill flax params/batch_stats from a torch state dict.
 
@@ -249,13 +398,16 @@ def convert_state_dict(torch_state: Dict[str, np.ndarray],
         assert w.shape == val.shape, (flat_key, tk, w.shape, val.shape)
         new_stats[flat_key] = w.astype(np.asarray(val).dtype)
 
+    # with strict_prefix only leaves under it must map (trunk-only
+    # conversion: heads keep fresh init, like the reference's ImageNet load)
+    relevant = [mk for mk in missing if mk[0].startswith(strict_prefix)]
     if missing:
-        for fk, tk in missing[:20]:
+        for fk, tk in relevant[:20]:
             log(f"unmatched: {fk} -> {tk}")
         log(f"{len(missing)} unmatched leaves "
             f"({len(new_params) + len(new_stats) - len(missing)} converted)")
-        if strict:
-            raise KeyError(f"{len(missing)} unmatched leaves")
+        if strict and relevant:
+            raise KeyError(f"{len(relevant)} unmatched leaves")
     return _unflatten(new_params), _unflatten(new_stats)
 
 
@@ -266,6 +418,11 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--num-classes", type=int, default=19)
     ap.add_argument("--lenient", action="store_true")
+    ap.add_argument("--trunk", default=None,
+                    help="convert a trunk-only ImageNet checkpoint "
+                         "(wrn38 | resnet-50 | resnet-101 | seresnext-50 | "
+                         "seresnext-101 | xception71 | hrnetv2) onto the "
+                         "model's backbone; heads keep fresh init")
     args = ap.parse_args()
 
     import jax
@@ -285,9 +442,11 @@ def main():
     variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.bfloat16))
 
+    key_fn = trunk_key_fn(args.trunk) if args.trunk else flax_to_torch_key
     params, stats = convert_state_dict(
         state, variables["params"], variables.get("batch_stats", {}),
-        strict=not args.lenient)
+        key_fn=key_fn, strict=not args.lenient,
+        strict_prefix="backbone/" if args.trunk else "")
 
     import orbax.checkpoint as ocp
 

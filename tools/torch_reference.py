@@ -1,0 +1,198 @@
+"""Build the ACTUAL torch reference network in this environment.
+
+The reference (/root/reference) is importable on CPU once its two
+non-importable deps are stubbed (VERDICT r1 item 2):
+- ``apex.amp`` (network/mynn.py:10): under opt-level O0 its decorators and
+  cast guards are no-ops, so no-op stubs are semantically exact;
+- ``runx.logx`` (network/hrnetv2.py:22 etc.): logging only;
+- ``torchvision`` (utils/misc.py:39-40): imported at module scope by
+  utils/misc.py but only *used* inside ImageDumper, which we never touch.
+
+Used by tests/test_torch_parity.py to prove end-to-end numerical parity of
+the converted flax model against the real ``ocrnet.HRNet_Mscale``
+(reference: network/ocrnet.py:158-334) — the converter's correctness
+oracle for the 86.92-mIoU path.
+
+As __main__, dumps a random-init reference state_dict plus forward outputs
+(single-scale _fwd, eval two_scale_forward, eval nscale_forward) to .npz:
+
+  python tools/torch_reference.py --out /tmp/ref_dump --height 64 --width 128
+"""
+from __future__ import annotations
+
+import argparse
+import contextlib
+import os
+import sys
+import types
+
+REFERENCE = os.environ.get("TPUSEG_REFERENCE", "/root/reference")
+
+
+def install_stubs():
+    """Register apex/runx/torchvision stand-ins in sys.modules."""
+    import numpy as np
+    import torch.nn as nn
+
+    # the reference predates numpy 2.x: restore the removed scalar aliases
+    # it uses (network/hrnetv2.py:315 np.int, utils/f_boundary.py:193 np.bool)
+    for alias, builtin in (("int", int), ("float", float), ("bool", bool),
+                           ("object", object)):
+        if not hasattr(np, alias):
+            setattr(np, alias, builtin)
+
+    if "apex" not in sys.modules:
+        apex = types.ModuleType("apex")
+        amp = types.ModuleType("apex.amp")
+        # under AMP O0 these are identity decorators / no-op guards
+        amp.float_function = lambda fn: fn
+        amp.half_function = lambda fn: fn
+
+        @contextlib.contextmanager
+        def _noop(*a, **k):
+            yield
+
+        amp.disable_casts = _noop
+        par = types.ModuleType("apex.parallel")
+        par.SyncBatchNorm = nn.BatchNorm2d
+        apex.amp = amp
+        apex.parallel = par
+        sys.modules.update({"apex": apex, "apex.amp": amp,
+                            "apex.parallel": par})
+
+    if "runx" not in sys.modules:
+        class _Logx:
+            def __getattr__(self, name):
+                return lambda *a, **k: None
+
+        runx = types.ModuleType("runx")
+        logx = types.ModuleType("runx.logx")
+        logx.logx = _Logx()
+        runx.logx = logx
+        sys.modules.update({"runx": runx, "runx.logx": logx})
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tr = types.ModuleType("torchvision.transforms")
+        ut = types.ModuleType("torchvision.utils")
+        tv.transforms = tr
+        tv.utils = ut
+        sys.modules.update({"torchvision": tv,
+                            "torchvision.transforms": tr,
+                            "torchvision.utils": ut})
+
+
+def reference_cfg(num_classes: int = 19, n_scales=None):
+    """Import the reference's global cfg, mutated for in-env CPU use.
+
+    Must run BEFORE any ``network.*`` import: hrnetv2.init_weights binds
+    cfg.MODEL.HRNET_CHECKPOINT as a default argument at class-definition
+    time (network/hrnetv2.py:451), so the no-pretrained override has to be
+    in place first.
+    """
+    install_stubs()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import torch
+
+    from config import cfg  # the reference's global AttrDict
+
+    cfg.immutable(False)
+    cfg.MODEL.HRNET_CHECKPOINT = ""  # no ImageNet weights in this env
+    cfg.MODEL.BNFUNC = torch.nn.BatchNorm2d
+    # normally set by assert_and_infer_cfg (config.py:214); ResizeX branches
+    # on it for recompute_scale_factor (network/mynn.py:106)
+    cfg.OPTIONS.TORCH_VERSION = float(".".join(
+        torch.__version__.split(".")[:2]))
+    cfg.DATASET.NUM_CLASSES = num_classes
+    cfg.MODEL.N_SCALES = list(n_scales) if n_scales else None
+    return cfg
+
+
+def build_reference_model(arch: str = "ocrnet.HRNet_Mscale",
+                          num_classes: int = 19, n_scales=None,
+                          seed: int = 0):
+    """Instantiate a reference network factory on CPU with random init."""
+    cfg = reference_cfg(num_classes, n_scales)
+    import importlib
+
+    import torch
+
+    torch.manual_seed(seed)
+    mod_name, fn_name = arch.split(".")
+    mod = importlib.import_module(f"network.{mod_name}")
+    net = getattr(mod, fn_name)(num_classes, criterion=None)
+    net.eval()
+    return net, cfg
+
+
+def state_dict_numpy(net) -> dict:
+    return {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()
+            if v is not None and v.dtype.is_floating_point or
+            "running" in k}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--arch", default="ocrnet.HRNet_Mscale")
+    ap.add_argument("--num-classes", type=int, default=19)
+    ap.add_argument("--height", type=int, default=64)
+    ap.add_argument("--width", type=int, default=128)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import numpy as np
+    import torch
+
+    net, cfg = build_reference_model(args.arch, args.num_classes, None,
+                                     args.seed)
+    os.makedirs(args.out, exist_ok=True)
+    np.savez(os.path.join(args.out, "state_dict.npz"),
+             **state_dict_numpy(net))
+
+    rng = np.random.RandomState(args.seed)
+    x_np = rng.uniform(-2.0, 2.0,
+                       (1, 3, args.height, args.width)).astype(np.float32)
+    x = torch.from_numpy(x_np)
+    outs = {"x": x_np}
+
+    acts = {}
+
+    def _hook(name):
+        def fn(mod, inp, out):
+            if torch.is_tensor(out):
+                acts[name] = out.detach().numpy()
+            elif isinstance(out, (tuple, list)):
+                for i, o in enumerate(out):
+                    if torch.is_tensor(o):
+                        acts[f"{name}#{i}"] = o.detach().numpy()
+        return fn
+
+    for name, mod in net.named_modules():
+        if name:
+            mod.register_forward_hook(_hook(name))
+
+    with torch.no_grad():
+        single = net._fwd(x)  # reference ocrnet.py:170-183
+        for k, v in single.items():
+            outs[f"single/{k}"] = v.numpy()
+        np.savez(os.path.join(args.out, "acts.npz"), **acts)
+        acts.clear()
+
+        cfg.MODEL.N_SCALES = None  # -> two_scale_forward (ocrnet.py:330-332)
+        two = net({"images": x})
+        for k, v in two.items():
+            outs[f"two/{k}"] = v.numpy()
+
+        cfg.MODEL.N_SCALES = [0.5, 1.0, 2.0]  # -> nscale_forward
+        ns = net({"images": x})
+        for k, v in ns.items():
+            outs[f"nscale/{k}"] = v.numpy()
+
+    np.savez(os.path.join(args.out, "outputs.npz"), **outs)
+    print(f"dumped reference state_dict + outputs to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -122,7 +122,10 @@ class AverageMeter:
 
 
 def fmt_scale(prefix: str, scale: float) -> str:
-    """'pred_0.5x'-style asset keys (reference: utils/misc.py:504-513)."""
-    # 0.5 -> '05', 1.0 -> '10', 2.0 -> '20'
-    scale_str = str(float(scale)).replace(".", "")
-    return f"{prefix}_{scale_str}x"
+    """'pred_0.5x'-style asset keys (reference: utils/misc.py:504-513).
+
+    The reference's ``scale_str.replace('.', '')`` discards its result
+    (strings are immutable), so its actual keys/filenames KEEP the dot —
+    match that, e.g. fmt_scale('pred', 0.5) == 'pred_0.5x'.
+    """
+    return f"{prefix}_{float(scale)}x"

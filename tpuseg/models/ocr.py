@@ -129,11 +129,17 @@ class OCRBlock(nn.Module):
 
     @nn.compact
     def __call__(self, high_level_features, train: bool = False):
-        feats = ConvNormAct(self.mid_channels, 3, dtype=self.dtype,
+        # conv3x3_ocr and aux0 carry conv biases: the reference uses plain
+        # nn.Conv2d defaults there (bias=True, ocrnet.py:55-56,70-71), and a
+        # trained checkpoint's BN running stats absorb the bias's effect —
+        # dropping it would shift every converted activation
+        feats = ConvNormAct(self.mid_channels, 3, use_bias=True,
+                            dtype=self.dtype,
                             name="conv3x3_ocr")(high_level_features, train)
 
         # aux head: 1x1 conv+BN+relu -> 1x1 classifier (with bias)
-        aux = ConvNormAct(high_level_features.shape[-1], 1, dtype=self.dtype,
+        aux = ConvNormAct(high_level_features.shape[-1], 1, use_bias=True,
+                          dtype=self.dtype,
                           name="aux0")(high_level_features, train)
         aux_out = conv(self.num_classes, 1, use_bias=True, dtype=self.dtype,
                        name="aux_cls")(aux)
