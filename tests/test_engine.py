@@ -233,3 +233,21 @@ def test_folder_mode_and_submission(fake_cityscapes, tmp_path):
     # values are raw label ids (7..33 range for predicted classes), not
     # trainIds 0..18
     assert arr.max() >= 7
+
+
+def test_evaluate_only_dump_topn(fake_cityscapes, tmp_path):
+    """eval.dump_topn routes evaluate_only through validate_topn
+    (reference --dump_topn: train.py:163-168, trnval_utils.py:201-348)."""
+    import dataclasses
+
+    from tpuseg.train.loop import evaluate_only
+
+    cfg = engine_cfg(fake_cityscapes, str(tmp_path))
+    cfg = cfg.replace(eval=dataclasses.replace(cfg.eval, dump_topn=2))
+    logdir = str(tmp_path / "topnlogs")
+    metrics = evaluate_only(cfg, logdir=logdir)
+    assert metrics is not None and 0.0 <= metrics.mean_iou <= 1.0
+    out_dir = os.path.join(logdir, "eval_images", "best_images")
+    files = os.listdir(out_dir)
+    assert "topn_failures.html" in files
+    assert any(f.endswith("_err_mask.png") for f in files)

@@ -313,10 +313,13 @@ def convert_conv_weight(w: np.ndarray, feature_group_count: int = 1
 def _strip_prefixes(state_dict: dict) -> dict:
     """The reference's own ckpt cleanups: DataParallel 'module.' prefixes
     and HRNet 'model.'/'last_layer' remaps (hrnetv2.py:467-469,
-    wider_resnet.py:406-412)."""
+    wider_resnet.py:406-412). Prefixes are stripped only at the key START:
+    a substring replace would corrupt e.g. SEResNeXt's 'se_module.' keys."""
     out = {}
     for k, v in state_dict.items():
-        k = k.replace("module.", "").replace("model.", "")
+        for pre in ("module.", "model."):
+            if k.startswith(pre):
+                k = k[len(pre):]
         k = k.replace("last_layer", "aux_head")
         out[k] = v
     return out
@@ -364,8 +367,14 @@ def convert_state_dict(torch_state: Dict[str, np.ndarray],
     def leaf_key(flat_key: str, collection: str):
         parts = flat_key.split("/")
         leaf = parts[-1]
-        # flax BN module is 'bn' inside our Norm wrapper: path .../norm/bn/*
-        mod_path = "/".join(p for p in parts[:-1] if p != "bn")
+        # flax BN is 'bn' inside our Norm wrapper: strip only that innermost
+        # component (a blanket p != 'bn' filter would also eat Norm modules
+        # that are themselves NAMED 'bn', e.g. SeparableConv's 'sep0/bn/bn')
+        mod_parts = parts[:-1]
+        if mod_parts and mod_parts[-1] == "bn" and leaf in (
+                "scale", "bias", "mean", "var"):
+            mod_parts = mod_parts[:-1]
+        mod_path = "/".join(mod_parts)
         torch_prefix = key_fn(mod_path)
         if torch_prefix is None:
             return None

@@ -126,6 +126,66 @@ def build_reference_model(arch: str = "ocrnet.HRNet_Mscale",
     return net, cfg
 
 
+def build_reference_trunk(name: str, seed: int = 0):
+    """Instantiate a reference trunk WITHOUT its pretrained load (the files
+    and model-zoo URLs are unavailable in-env). The pretrained-loading code
+    paths these bypass are exactly what the converter key maps re-implement:
+    wider_resnet.py:399-412, Resnet.py:44-50 + utils.py:48-99,
+    SEresnext.py:365-406, xception.py:270-279."""
+    reference_cfg()
+    import torch
+
+    torch.manual_seed(seed)
+    if name == "wrn38":
+        import network.wider_resnet as wr
+
+        net = wr.wrn38(pretrained=False)
+    elif name == "xception71":
+        import network.xception as xc
+        from network.mynn import Norm2d
+
+        net = xc.xception71(output_stride=8, BatchNorm=Norm2d,
+                            pretrained=False)
+    elif name in ("resnet-50", "resnet-101",
+                  "seresnext-50", "seresnext-101"):
+        import network.Resnet as Resnet
+        import network.SEresnext as SE
+        import network.utils as nutils
+
+        # zero egress: neuter the model-zoo downloads, keep the module
+        # surgery (get_resnet stride-8 rewrite) intact
+        nutils.resnet50 = lambda: Resnet.resnet50(pretrained=False)
+        nutils.resnet101 = lambda: Resnet.resnet101(pretrained=False)
+        SE.initialize_pretrained_model = lambda *a, **k: None
+        net = nutils.get_resnet(name, output_stride=8)
+    else:
+        raise ValueError(name)
+    net.eval()
+    return net
+
+
+def trunk_state_dict_numpy(name: str, net) -> dict:
+    """state_dict in the PRETRAINED-FILE naming each trunk's checkpoint
+    ships with (what the converter consumes)."""
+    state = state_dict_numpy(net)
+    if name.startswith("resnet"):
+        # get_resnet wraps the torchvision-style stem in a positional
+        # Sequential; the model-zoo files use conv1/bn1 (utils.py:58-63)
+        out = {}
+        for k, v in state.items():
+            if k.startswith("layer0.0."):
+                k = "conv1." + k[len("layer0.0."):]
+            elif k.startswith("layer0.1."):
+                k = "bn1." + k[len("layer0.1."):]
+            out[k] = v
+        return out
+    if name == "wrn38":
+        # the shipped wider_resnet38.pth.tar carries DataParallel prefixes
+        # (wider_resnet.py:406); reproduce them to exercise the strip
+        return {f"module.{k}": v for k, v in state.items()}
+    return state
+
+
 def state_dict_numpy(net) -> dict:
     return {k: v.detach().cpu().numpy() for k, v in net.state_dict().items()
             if v is not None and v.dtype.is_floating_point or
@@ -140,10 +200,32 @@ def main():
     ap.add_argument("--height", type=int, default=64)
     ap.add_argument("--width", type=int, default=128)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--trunk", default=None,
+                    help="dump a bare trunk (state_dict in pretrained-file "
+                         "naming + (s2, s4, high) forward outputs) instead "
+                         "of the full model")
     args = ap.parse_args()
 
     import numpy as np
     import torch
+
+    if args.trunk:
+        net = build_reference_trunk(args.trunk, args.seed)
+        os.makedirs(args.out, exist_ok=True)
+        np.savez(os.path.join(args.out, "state_dict.npz"),
+                 **trunk_state_dict_numpy(args.trunk, net))
+        rng = np.random.RandomState(args.seed)
+        x_np = rng.uniform(-2.0, 2.0,
+                           (1, 3, args.height, args.width)).astype(np.float32)
+        outs = {"x": x_np}
+        with torch.no_grad():
+            res = net(torch.from_numpy(x_np))
+        for i, t in enumerate(res if isinstance(res, tuple) else (res,)):
+            if torch.is_tensor(t):
+                outs[f"out{i}"] = t.numpy()
+        np.savez(os.path.join(args.out, "outputs.npz"), **outs)
+        print(f"dumped {args.trunk} trunk to {args.out}")
+        return
 
     net, cfg = build_reference_model(args.arch, args.num_classes, None,
                                      args.seed)

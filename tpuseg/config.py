@@ -189,6 +189,11 @@ class EvalConfig:
     # (one compiled graph per bucket instead of per exact shape); None =
     # exact shapes (reference behavior)
     pad_multiple: int | None = None
+    # dump the top-N worst-performing val images per class, with an HTML
+    # failure gallery (reference --dump_topn/--dump_topn_all:
+    # train.py:163-168, utils/trnval_utils.py:201-348); 0 = off
+    dump_topn: int = 0
+    dump_topn_all: bool = False
 
 
 @dataclass(frozen=True)

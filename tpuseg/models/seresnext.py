@@ -92,10 +92,12 @@ class SEResNeXt(nn.Module):
             if self.remat else SEResNeXtBottleneck
 
         # SEResNeXt stem: single 7x7 s2 (reference input_3x3=False for
-        # se_resnext variants, SEresnext.py:44-67) + maxpool
+        # se_resnext variants, SEresnext.py:44-67) + Caffe-style maxpool
+        # (padding 0, ceil_mode — SEresnext.py:269-272, NOT torchvision's
+        # padding=1: same output size, different window alignment)
         x = conv(64, 7, 2, padding=3, dtype=self.dtype, name="conv1")(x)
         x = nn.relu(Norm(dtype=self.dtype, name="bn1")(x, train))
-        x = max_pool2d(x, 3, 2, 1)
+        x = max_pool2d(x, 3, 2, 0, ceil_mode=True)
 
         if self.output_stride == 8:
             plan = [(64, 1, 1), (128, 2, 1), (256, 1, 2), (512, 1, 4)]

@@ -57,16 +57,22 @@ class XceptionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.start_with_relu:
+            # the reference's leading ReLU is INPLACE (xception.py:56-60):
+            # running rep() mutates the block input before the skip branch
+            # reads it, so the skip (conv-skip AND identity-skip) actually
+            # consumes relu(x). Trained checkpoints bake in this behavior —
+            # reproduce it exactly.
+            x = nn.relu(x)
         inp = x
         in_ch = x.shape[-1]
         first = True
 
         def maybe_relu(y):
             nonlocal first
-            if first and not self.start_with_relu:
+            if first:
                 first = False
                 return y
-            first = False
             return nn.relu(y)
 
         idx = 0
@@ -91,13 +97,13 @@ class XceptionBlock(nn.Module):
             x = Norm(dtype=self.dtype, name=f"sepbn{idx}")(x, train)
             idx += 1
         if self.stride != 1:
-            x = nn.relu(x)
+            x = maybe_relu(x)
             x = SeparableConv(self.planes, 2, 1, self.dtype,
                               name=f"sep{idx}")(x, train)
             x = Norm(dtype=self.dtype, name=f"sepbn{idx}")(x, train)
             idx += 1
         elif self.is_last:
-            x = nn.relu(x)
+            x = maybe_relu(x)
             x = SeparableConv(self.planes, 1, self.dilation, self.dtype,
                               name=f"sep{idx}")(x, train)
             x = Norm(dtype=self.dtype, name=f"sepbn{idx}")(x, train)

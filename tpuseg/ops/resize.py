@@ -135,11 +135,26 @@ def avg_pool2d(x: jnp.ndarray, window: int, stride: int | None = None,
 
 
 def max_pool2d(x: jnp.ndarray, window: int, stride: int | None = None,
-               padding: int = 0) -> jnp.ndarray:
-    """Max pool over NHWC matching torch ``F.max_pool2d``."""
+               padding: int = 0, ceil_mode: bool = False) -> jnp.ndarray:
+    """Max pool over NHWC matching torch ``F.max_pool2d``.
+
+    ``ceil_mode`` pads only the trailing edge with -inf so partial windows
+    are kept (torch MaxPool2d(ceil_mode=True), needed for the Caffe-style
+    SENet stem — reference SEresnext.py:269-272); window alignment stays at
+    offset 0, unlike symmetric padding.
+    """
     import jax
 
     stride = stride or window
+
+    def pad_end(size: int) -> int:
+        import math
+
+        out = math.ceil((size + 2 * padding - window) / stride) + 1
+        return max(0, (out - 1) * stride + window - size - 2 * padding)
+
+    ph = pad_end(x.shape[1]) if ceil_mode else 0
+    pw = pad_end(x.shape[2]) if ceil_mode else 0
     # -inf init (not finfo.min): JAX's reduce_window autodiff rule only
     # recognizes the (-inf, max) monoid
     return jax.lax.reduce_window(
@@ -148,5 +163,6 @@ def max_pool2d(x: jnp.ndarray, window: int, stride: int | None = None,
         jax.lax.max,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, stride, stride, 1),
-        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+        padding=((0, 0), (padding, padding + ph), (padding, padding + pw),
+                 (0, 0)),
     ).astype(x.dtype)

@@ -322,6 +322,21 @@ def evaluate_only(cfg: Config, logdir: str = "logs",
         criterion=val_criterion,
         pad_multiple=cfg.eval.pad_multiple)
 
+    if cfg.eval.dump_topn:
+        from tpuseg.evaluation.topn import validate_topn
+
+        return validate_topn(
+            val_loader, runner, variables, cfg.dataset.num_classes,
+            result_dir=cfg.eval.result_dir or os.path.join(logdir,
+                                                           "eval_images"),
+            trainid_to_name=getattr(val_loader.dataset, "trainid_to_name",
+                                    None),
+            dump_topn=cfg.eval.dump_topn,
+            dump_topn_all=cfg.eval.dump_topn_all,
+            palette=getattr(val_loader.dataset, "palette", None),
+            mean=cfg.dataset.mean, std=cfg.dataset.std, log=logger.msg,
+            max_images=5 if cfg.train.test_mode else None)
+
     calc_metrics = eval_mode != "folder" and \
         not cfg.eval.dump_for_auto_labelling and \
         not cfg.eval.dump_for_submission
