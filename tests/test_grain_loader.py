@@ -35,3 +35,49 @@ def test_grain_loader_sharding():
             seen.extend(batch["name"])
     assert len(seen) == 16
     assert len(set(seen)) == 16  # disjoint shards cover everything
+
+
+def test_setup_data_selects_grain(tmp_path):
+    """dataset.loader='grain' routes the TRAIN loader through GrainLoader
+    end-to-end (real dataset, real transforms) — no dark code."""
+    import os
+
+    from PIL import Image
+
+    from tpuseg.config import make_config
+    from tpuseg.data.setup import setup_data
+
+    root = tmp_path / "cs"
+    rng = np.random.RandomState(0)
+    for split, city in [("train", "aachen"), ("val", "lindau")]:
+        img_dir = root / "leftImg8bit_trainvaltest/leftImg8bit" / split / city
+        msk_dir = root / "gtFine_trainvaltest/gtFine" / split / city
+        img_dir.mkdir(parents=True)
+        msk_dir.mkdir(parents=True)
+        for i in range(4):
+            base = f"{city}_{i:06d}_000019"
+            Image.fromarray(rng.randint(0, 255, (64, 64, 3),
+                                        dtype=np.uint8)).save(
+                img_dir / f"{base}_leftImg8bit.png")
+            Image.fromarray((np.ones((64, 64)) * 7).astype(np.uint8)).save(
+                msk_dir / f"{base}_gtFine_labelIds.png")
+
+    cfg = make_config({
+        "dataset.name": "cityscapes",
+        "dataset.cityscapes_dir": str(root),
+        "dataset.centroid_root": os.path.join(str(tmp_path), "centroids"),
+        "dataset.crop_size": (32, 32),
+        "dataset.class_uniform_tile": 32,
+        "dataset.loader": "grain",
+        "dataset.num_workers": 2,
+        "dataset.gblur": False,
+        "dataset.color_aug": 0.0,
+        "train.batch_size": 2,
+    })
+    train_loader, _, _ = setup_data(cfg)
+    from tpuseg.data.grain_loader import GrainLoader
+
+    assert isinstance(train_loader, GrainLoader)
+    batch = next(iter(train_loader))
+    assert batch["image"].shape == (2, 32, 32, 3)
+    assert batch["label"].shape == (2, 32, 32)

@@ -61,6 +61,10 @@ class DatasetConfig:
     jointwtborder: bool = False
     # host pipeline
     num_workers: int = 8
+    # host input pipeline: 'threaded' (BatchLoader, thread prefetch) or
+    # 'grain' (worker PROCESSES via Google Grain — use when augmentation
+    # is CPU-bound at large crops)
+    loader: str = "threaded"
     eval_folder: str | None = None
 
 
@@ -91,14 +95,17 @@ class ModelConfig:
     n_scales: Sequence[float] | None = None  # inference scales (config.py:126)
     mscale_inner_3x3: bool = True     # extra 3x3 in attn head (config.py:133)
     mscale_dropout: bool = False      # dropout in attn head (config.py:134)
+    # NOTE: the four knobs below are intentionally dead, faithful to flags
+    # the reference also defines but never reads (set in reference
+    # config.py:123-136, consumed nowhere) — kept so recipes round-trip
     mscale_init: float = 0.5          # initial attention bias (config.py:136)
     mscale_cat_scale_flt: bool = False
+    three_scale: bool = False
+    alt_two_scale: bool = False
     ocr_aspp: bool = False            # ASPP inside OCR (config.py:129)
     segattn_bot_ch: int = 256         # seg/attn head bottleneck (config.py:130)
     aspp_bot_ch: int = 256            # ASPP bottleneck (config.py:131)
     attnscale_bn_head: bool = False
-    three_scale: bool = False
-    alt_two_scale: bool = False
     extra_scales: Sequence[float] = (0.5, 1.5)
     # norm behavior: cross-replica (sync) batch statistics via lax.pmean over
     # the data mesh axis — the TPU-native equivalent of apex SyncBatchNorm
@@ -161,7 +168,6 @@ class TrainConfig:
     max_epoch: int = 175
     batch_size: int = 8               # global batch (split across data axis)
     val_freq: int = 1
-    rmi_loss_first_epoch_off: bool = False
     seed: int = 0
     log_every: int = 20
     # checkpointing

@@ -140,9 +140,19 @@ def setup_data(cfg: Config, eval_mode: Optional[str] = None,
         joint_transform=build_train_joint_transform(cfg, ignore_label),
         img_transform=build_train_img_transform(cfg),
         label_transform=label_transform, seed=seed, is_primary=is_primary)
-    train_sampler = ShardedEpochSampler(len(train_set), num_shards, shard,
-                                        shuffle=True, pad=True, seed=seed)
-    train_loader = BatchLoader(
-        train_set, cfg.train.batch_size // max(num_shards, 1),
-        sampler=train_sampler, drop_last=True, num_workers=d.num_workers)
+    per_shard_bs = cfg.train.batch_size // max(num_shards, 1)
+    if d.loader == "grain":
+        from tpuseg.data.grain_loader import GrainLoader
+
+        train_loader = GrainLoader(
+            train_set, per_shard_bs, num_shards=num_shards, shard=shard,
+            shuffle=True, drop_last=True, num_workers=d.num_workers,
+            seed=seed)
+    else:
+        train_sampler = ShardedEpochSampler(len(train_set), num_shards,
+                                            shard, shuffle=True, pad=True,
+                                            seed=seed)
+        train_loader = BatchLoader(
+            train_set, per_shard_bs,
+            sampler=train_sampler, drop_last=True, num_workers=d.num_workers)
     return train_loader, val_loader, train_set

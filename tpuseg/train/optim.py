@@ -87,10 +87,14 @@ def make_optimizer(cfg: Config, steps_per_epoch: int = 1):
             optax.scale_by_learning_rate(schedule),
         )
     elif oc.optimizer == "radam":
-        # rectified Adam (reference: loss/radam.py)
+        # rectified Adam (reference: loss/radam.py:11-107). The reference
+        # applies weight decay DECOUPLED (p -= lr*wd*p, radam.py:94-97),
+        # not through the moments — so decay goes after scale_by_radam;
+        # trajectory-matched against the torch original in
+        # tests/test_optim_parity.py
         tx = optax.chain(
-            optax.add_decayed_weights(oc.weight_decay),
             optax.scale_by_radam(),
+            optax.add_decayed_weights(oc.weight_decay),
             optax.scale_by_learning_rate(schedule),
         )
     else:
