@@ -251,3 +251,80 @@ def test_evaluate_only_dump_topn(fake_cityscapes, tmp_path):
     files = os.listdir(out_dir)
     assert "topn_failures.html" in files
     assert any(f.endswith("_err_mask.png") for f in files)
+
+
+def test_dumper_write_summaries(fake_cityscapes, tmp_path):
+    """TB image grid assembly (reference write_summaries,
+    utils/misc.py:388-417): strips collected during dump are padded to a
+    common width and sent through Logger.image."""
+    from tpuseg.evaluation.dumper import ImageDumper
+
+    dumper = ImageDumper(val_len=2, dump_dir=str(tmp_path / "d"),
+                         palette=None, dump_all_images=True)
+    rng = np.random.RandomState(0)
+    for idx, (h, w) in enumerate([(16, 24), (16, 20)]):
+        dumper.dump({"input_images": rng.randn(1, h, w, 3).astype(np.float32),
+                     "gt_images": np.zeros((1, h, w), np.int32),
+                     "img_names": [f"im{idx}"],
+                     "assets": {"predictions":
+                                np.zeros((1, h, w), np.int32),
+                                "prob_mask": np.ones((1, h, w))}}, idx)
+    assert len(dumper.imgs_to_tensorboard) == 2
+
+    grabbed = {}
+
+    class FakeLogger:
+        def image(self, tag, img, step):
+            grabbed[tag] = (img, step)
+
+    dumper.write_summaries(FakeLogger(), 7)
+    img, step = grabbed["val/dumped_images"]
+    assert step == 7
+    assert img.shape == (32, 24 * 4, 3)  # rows stacked, width-padded
+    assert img.min() >= 0.0 and img.max() <= 1.0
+
+
+def test_cross_dataset_snapshot_transfer(tmp_path):
+    """The reference's Mapillary->Cityscapes warm start: a 65-class
+    checkpoint forgiving-restored into a 19-class model loads every
+    shape-compatible leaf and keeps fresh init for the classifier heads
+    (reference forgiving_state_restore: loss/optimizer.py:137-154,
+    train_cityscapes.yml snapshot)."""
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from tpuseg.models import get_model
+    from tpuseg.train.checkpoint import load_snapshot
+
+    def init_vars(num_classes, fill=None):
+        cfg = make_config({"model.arch": "ocrnet.HRNet_Mscale_Tiny",
+                           "model.compute_dtype": "float32",
+                           "model.remat": False,
+                           "dataset.num_classes": num_classes})
+        model = get_model(cfg)
+        v = model.init(jax.random.PRNGKey(0 if fill is None else 1),
+                       jnp.zeros((1, 32, 32, 3)), train=False)
+        if fill is not None:
+            v = jax.tree.map(lambda x: jnp.full_like(x, fill), v)
+        return v
+
+    src = init_vars(65, fill=0.25)
+    path = str(tmp_path / "ckpt65")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": src["params"],
+                      "batch_stats": src["batch_stats"]})
+    ckptr.wait_until_finished()
+
+    tgt = init_vars(19)
+    skipped = []
+    params, stats = load_snapshot(path, tgt["params"], tgt["batch_stats"],
+                                  log=skipped.append)
+    # trunk leaves transferred...
+    got = jax.tree.leaves(params["backbone"])[0]
+    assert (np.asarray(got) == 0.25).all()
+    # ...classifier heads (19- vs 65-class shapes) kept fresh init
+    assert any("cls" in s for s in skipped)
+    cls_kernel = params["ocr"]["cls"]["kernel"]
+    assert cls_kernel.shape[-1] == 19
+    assert not (np.asarray(cls_kernel) == 0.25).all()

@@ -269,6 +269,57 @@ def _xception_torch_prefix(p: str) -> str | None:
     return None
 
 
+def _aspp_torch_prefix(p: str) -> str | None:
+    """flax ASPP (tpuseg/models/heads.py) -> reference
+    AtrousSpatialPyramidPoolingModule (network/utils.py:162-218):
+    features ModuleList of Sequential(conv, BN, ReLU); img_conv separate."""
+    table = {"img_conv/conv": "img_conv.0", "img_conv/norm": "img_conv.1"}
+    if p in table:
+        return table[p]
+    m = re.match(r"branch(\d)/(conv|norm)$", p)
+    if m:
+        i, kind = m.groups()
+        return f"features.{i}.{'0' if kind == 'conv' else '1'}"
+    return None
+
+
+def deepv3_key_fn(trunk: str):
+    """Full-model mapping for deepv3.DeepV3Plus* checkpoints
+    (reference: network/deepv3.py:40-93). The trunk sub-map depends on the
+    arch's trunk; resnet stems live under the get_resnet 'layer0'
+    positional Sequential inside seg checkpoints (utils.py:58-63)."""
+    trunk_fn = TRUNK_KEY_FNS[trunk]
+
+    def trunk_sub(p: str) -> str | None:
+        sub = trunk_fn(p)
+        if sub is None:
+            return None
+        if trunk.startswith("resnet"):
+            if sub.startswith("conv1"):
+                sub = "layer0.0" + sub[len("conv1"):]
+            elif sub.startswith("bn1"):
+                sub = "layer0.1" + sub[len("bn1"):]
+        return sub
+
+    head_table = {
+        "bot_fine": "bot_fine", "bot_aspp": "bot_aspp",
+        "final1/conv": "final.0", "final1/norm": "final.1",
+        "final2/conv": "final.3", "final2/norm": "final.4",
+        "final_cls": "final.6",
+    }
+
+    def key_fn(flax_path: str) -> str | None:
+        if flax_path.startswith("backbone/"):
+            sub = trunk_sub(flax_path[len("backbone/"):])
+            return f"backbone.{sub}" if sub else None
+        if flax_path.startswith("aspp/"):
+            sub = _aspp_torch_prefix(flax_path[len("aspp/"):])
+            return f"aspp.{sub}" if sub else None
+        return head_table.get(flax_path)
+
+    return key_fn
+
+
 TRUNK_KEY_FNS = {
     "wrn38": _wrn38_torch_prefix,
     "resnet-50": _resnet_torch_prefix,

@@ -109,6 +109,24 @@ def reference_cfg(num_classes: int = 19, n_scales=None):
     return cfg
 
 
+def _neuter_pretrained_loads():
+    """Make every get_trunk path constructible without pretrained files /
+    model-zoo downloads (zero egress): patch the factory names get_trunk
+    resolves (network/utils.py:102-141)."""
+    import network.Resnet as Resnet
+    import network.SEresnext as SE
+    import network.utils as nutils
+    import network.wider_resnet as wr
+    import network.xception as xc
+
+    nutils.wrn38 = lambda pretrained=True: wr.wrn38(pretrained=False)
+    nutils.xception71 = lambda **kw: xc.xception71(
+        **{**kw, "pretrained": False})
+    nutils.resnet50 = lambda: Resnet.resnet50(pretrained=False)
+    nutils.resnet101 = lambda: Resnet.resnet101(pretrained=False)
+    SE.initialize_pretrained_model = lambda *a, **k: None
+
+
 def build_reference_model(arch: str = "ocrnet.HRNet_Mscale",
                           num_classes: int = 19, n_scales=None,
                           seed: int = 0):
@@ -118,6 +136,7 @@ def build_reference_model(arch: str = "ocrnet.HRNet_Mscale",
 
     import torch
 
+    _neuter_pretrained_loads()
     torch.manual_seed(seed)
     mod_name, fn_name = arch.split(".")
     mod = importlib.import_module(f"network.{mod_name}")
@@ -256,21 +275,26 @@ def main():
             mod.register_forward_hook(_hook(name))
 
     with torch.no_grad():
-        single = net._fwd(x)  # reference ocrnet.py:170-183
-        for k, v in single.items():
-            outs[f"single/{k}"] = v.numpy()
-        np.savez(os.path.join(args.out, "acts.npz"), **acts)
-        acts.clear()
+        if hasattr(net, "_fwd"):  # mscale family
+            single = net._fwd(x)  # reference ocrnet.py:170-183
+            for k, v in single.items():
+                outs[f"single/{k}"] = v.numpy()
+            np.savez(os.path.join(args.out, "acts.npz"), **acts)
+            acts.clear()
 
-        cfg.MODEL.N_SCALES = None  # -> two_scale_forward (ocrnet.py:330-332)
-        two = net({"images": x})
-        for k, v in two.items():
-            outs[f"two/{k}"] = v.numpy()
+            cfg.MODEL.N_SCALES = None  # -> two_scale (ocrnet.py:330-332)
+            two = net({"images": x})
+            for k, v in two.items():
+                outs[f"two/{k}"] = v.numpy()
 
-        cfg.MODEL.N_SCALES = [0.5, 1.0, 2.0]  # -> nscale_forward
-        ns = net({"images": x})
-        for k, v in ns.items():
-            outs[f"nscale/{k}"] = v.numpy()
+            cfg.MODEL.N_SCALES = [0.5, 1.0, 2.0]  # -> nscale_forward
+            ns = net({"images": x})
+            for k, v in ns.items():
+                outs[f"nscale/{k}"] = v.numpy()
+        else:  # plain eval forward (deepv3 etc.)
+            ev = net({"images": x})
+            for k, v in ev.items():
+                outs[f"eval/{k}"] = v.numpy()
 
     np.savez(os.path.join(args.out, "outputs.npz"), **outs)
     print(f"dumped reference state_dict + outputs to {args.out}")

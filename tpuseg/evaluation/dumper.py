@@ -120,6 +120,16 @@ class ImageDumper:
                        (f"{img_name}_prediction.png", "prediction"),
                        (f"{img_name}_composited.png", "composited")]
 
+            # keep a bounded set of [input|gt|pred|composited] strips for
+            # the TensorBoard grid (reference write_summaries:
+            # utils/misc.py:388-417 collates the same quartet)
+            if len(self.imgs_to_tensorboard) < 10:
+                strip = np.concatenate(
+                    [np.asarray(p.convert("RGB"), np.float32) / 255.0
+                     for p in (er_in, gt_pil, pred_pil,
+                               composited.convert("RGB"))], axis=1)
+                self.imgs_to_tensorboard.append(strip)
+
             if self.dump_assets:
                 for asset, value in dump_dict["assets"].items():
                     if asset in ("predictions", "prob_mask"):
@@ -143,6 +153,18 @@ class ImageDumper:
                     to_page.append((fn, asset))
 
             self.imgs_to_webpage.append((img_name, to_page))
+
+    def write_summaries(self, logger, step: int):
+        """TensorBoard image grid of the dumped [input|gt|pred|composited]
+        strips (reference ImageDumper.write_summaries: utils/misc.py:
+        388-417). ``logger`` is a tpuseg Logger; no-op without TB."""
+        if not self.imgs_to_tensorboard:
+            return
+        h = max(s.shape[0] for s in self.imgs_to_tensorboard)
+        w = max(s.shape[1] for s in self.imgs_to_tensorboard)
+        rows = [np.pad(s, ((0, h - s.shape[0]), (0, w - s.shape[1]), (0, 0)))
+                for s in self.imgs_to_tensorboard]
+        logger.image("val/dumped_images", np.concatenate(rows, axis=0), step)
 
     def write_webpage(self):
         """HTML gallery (reference: misc.py:388-417 + results_page.py)."""

@@ -255,6 +255,7 @@ class Trainer:
         self.logger.metric("val", {"loss": val_loss.avg,
                                    "mIoU": metrics.mean_iou,
                                    "acc": metrics.acc}, int(self.state.step))
+        dumper.write_summaries(self.logger, int(self.state.step))
         dumper.write_webpage()
 
         if self.is_primary and metrics.mean_iou >= self.best_miou:
@@ -366,6 +367,7 @@ def evaluate_only(cfg: Config, logdir: str = "logs",
                      "assets": assets}, val_idx)
         if val_idx % 20 == 0:
             logger.msg(f"eval [{val_idx}/{len(val_loader)}]")
+    dumper.write_summaries(logger, 0)
     dumper.write_webpage()
     if calc_metrics:
         total_hist = multihost_sum(total_hist)

@@ -56,6 +56,13 @@ class Logger:
             for k, v in metrics.items():
                 self._tb.scalar(f"{phase}/{k}", float(v), step)
 
+    def image(self, tag: str, img, step: int):
+        """HWC float [0,1] image to TensorBoard (reference: logx.add_image
+        via ImageDumper.write_summaries, utils/misc.py:388-417). No-op
+        without a TB writer."""
+        if self.is_primary and self._tb is not None:
+            self._tb.image(tag, img, step)
+
     def flush(self):
         if self._tb:
             self._tb.flush()
