@@ -121,3 +121,38 @@ def test_nscale_parity(ref_dump, converted):
         diffs[k] = _diff(f"nscale/{k}", got[k], _nhwc(outs[f"nscale/{k}"]))
     # the chained fusion must agree where it matters most
     assert diffs["pred"] < ATOL
+
+
+def test_hrnet_imagenet_trunk_only_conversion(ref_dump, converted):
+    """ImageNet HRNet checkpoints carry trunk-only keys with 'model.'
+    prefixes and no 'backbone.' scope (reference init_weights remap:
+    hrnetv2.py:451-477). Simulate that format from the seg state dict and
+    require a strict backbone-subtree conversion that leaves heads at
+    fresh init."""
+    from convert_torch_ckpt import trunk_key_fn
+
+    state, _ = ref_dump
+    imagenet_style = {
+        "model." + k[len("backbone."):]: v
+        for k, v in state.items() if k.startswith("backbone.")
+    }
+    model, variables, _ = converted
+    params, stats = convert_state_dict(
+        imagenet_style, variables["params"],
+        variables.get("batch_stats", {}),
+        key_fn=trunk_key_fn("hrnetv2"), strict=True,
+        strict_prefix="backbone/", log=lambda *a: None)
+
+    import jax
+
+    # backbone leaves match the full-model conversion bit-for-bit
+    full_params, _ = convert_state_dict(
+        state, variables["params"], variables.get("batch_stats", {}),
+        strict=True, log=lambda *a: None)
+    for a, b in zip(jax.tree.leaves(params["backbone"]),
+                    jax.tree.leaves(full_params["backbone"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # heads untouched (fresh init from `variables`)
+    for a, b in zip(jax.tree.leaves(params["ocr"]),
+                    jax.tree.leaves(variables["params"]["ocr"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -82,8 +82,10 @@ def main():
     print(json.dumps({
         "metric": "train_step_imgs_per_sec_chip",
         "value": round(1.0 / dt, 4),
-        "unit": "imgs/sec/chip (1024x2048 crop, two-scale fwd+bwd, RMI)",
+        "unit": "imgs/sec/chip",
         "step_ms": round(dt * 1e3, 1),
+        "crop": f"{H}x{W}", "batch_per_chip": 1, "loss": "rmi",
+        "remat": True, "arch": "ocrnet.HRNet_Mscale (two-scale fwd+bwd)",
     }))
 
 

@@ -124,8 +124,10 @@ class ModelConfig:
     # rematerialization of trunk stages — the reference's dead --grad_ckpt
     # flag (config.py:355-356) made live: needed for 1024x2048 crops.
     remat: bool = True
-    # pallas kernels on the hot path (OCR attention fusion)
-    use_pallas: bool = True
+    # opt-in fused Pallas OCR attention kernel; off by default — measured
+    # on v5e, XLA's own fusion wins for this op and it is <1% of pipeline
+    # time (tpuseg/models/ocr.py:ObjectAttention docstring)
+    use_pallas: bool = False
 
 
 @dataclass(frozen=True)

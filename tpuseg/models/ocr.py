@@ -105,11 +105,13 @@ class SpatialOCR(nn.Module):
     key_channels: int
     out_channels: int
     dropout: float = 0.05
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, feats, proxy, train: bool = False):
         context = ObjectAttention(self.key_channels, feats.shape[-1],
+                                  use_pallas=self.use_pallas,
                                   dtype=self.dtype,
                                   name="object_context")(feats, proxy, train)
         y = jnp.concatenate([context, feats], axis=-1)
@@ -125,6 +127,7 @@ class OCRBlock(nn.Module):
     num_classes: int
     mid_channels: int = 512
     key_channels: int = 256
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -146,7 +149,7 @@ class OCRBlock(nn.Module):
 
         context = spatial_gather(feats, aux_out)
         ocr_feats = SpatialOCR(self.key_channels, self.mid_channels,
-                               dtype=self.dtype,
+                               use_pallas=self.use_pallas, dtype=self.dtype,
                                name="ocr_distri")(feats, context, train)
         cls_out = conv(self.num_classes, 1, use_bias=True, dtype=self.dtype,
                        name="cls")(ocr_feats)

@@ -33,13 +33,15 @@ class OCRNet(nn.Module):
     key_channels: int = 256
     align_corners: bool = False
     remat: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
         self.backbone = HRNetV2(self.spec, self.align_corners, self.remat,
                                 self.dtype, name="backbone")
         self.ocr = OCRBlock(self.num_classes, self.mid_channels,
-                            self.key_channels, self.dtype, name="ocr")
+                            self.key_channels, self.use_pallas,
+                            self.dtype, name="ocr")
 
     def __call__(self, x, train: bool = False):
         _, _, high = self.backbone(x, train)
@@ -59,6 +61,7 @@ class OCRNetASPP(nn.Module):
     key_channels: int = 256
     align_corners: bool = False
     remat: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
@@ -70,7 +73,8 @@ class OCRNetASPP(nn.Module):
                                  align_corners=self.align_corners,
                                  dtype=self.dtype, name="aspp")
         self.ocr = OCRBlock(self.num_classes, self.mid_channels,
-                            self.key_channels, self.dtype, name="ocr")
+                            self.key_channels, self.use_pallas,
+                            self.dtype, name="ocr")
 
     def __call__(self, x, train: bool = False):
         _, _, high = self.backbone(x, train)
@@ -103,6 +107,7 @@ class MscaleOCR(nn.Module):
     attn_inner_3x3: bool = True
     attn_dropout: bool = False
     remat: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
     # dtype of the full-resolution upsample + fusion chains at EVAL time.
     # float32 reproduces the reference's AMP-O1 fp32 islands exactly;
@@ -114,7 +119,8 @@ class MscaleOCR(nn.Module):
         self.backbone = HRNetV2(self.spec, self.align_corners, self.remat,
                                 self.dtype, name="backbone")
         self.ocr = OCRBlock(self.num_classes, self.mid_channels,
-                            self.key_channels, self.dtype, name="ocr")
+                            self.key_channels, self.use_pallas,
+                            self.dtype, name="ocr")
         self.scale_attn = AttnHead(out_ch=1, bot_ch=self.attn_bot_ch,
                                    inner_3x3=self.attn_inner_3x3,
                                    dropout=self.attn_dropout,
@@ -153,6 +159,7 @@ def _common(cfg):
         key_channels=cfg.model.ocr.key_channels,
         align_corners=cfg.model.align_corners,
         remat=cfg.model.remat,
+        use_pallas=cfg.model.use_pallas,
         dtype=jnp.dtype(cfg.model.compute_dtype),
     )
 
