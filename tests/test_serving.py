@@ -1,0 +1,61 @@
+"""StableHLO export/serving round trip (tpuseg/serving.py)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpuseg.config import make_config
+from tpuseg.models import get_model
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = make_config({"model.arch": "ocrnet.HRNet_Mscale_Tiny",
+                       "model.compute_dtype": "float32",
+                       "model.remat": False,
+                       "model.n_scales": (0.5, 1.0),
+                       "dataset.num_classes": 19})
+    model = get_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    return model, variables
+
+
+def test_export_load_roundtrip(tiny_model, tmp_path):
+    from tpuseg.serving import export_model, load_exported
+
+    model, variables = tiny_model
+    path = str(tmp_path / "artifact")
+    manifest = export_model(model, variables, (32, 64), path,
+                            input_dtype="float32")
+    assert manifest["input"]["shape"] == [1, 32, 64, 3]
+
+    serve = load_exported(path)
+    x = np.random.RandomState(0).randn(1, 32, 64, 3).astype(np.float32)
+    got = np.asarray(serve(x))
+    want = np.asarray(model.apply(variables, jnp.asarray(x),
+                                  train=False)["pred"])
+    assert got.shape == (1, 32, 64, 19)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # artifact enforces its recorded input spec
+    with pytest.raises(ValueError):
+        serve(np.zeros((1, 64, 64, 3), np.float32))
+
+
+def test_export_cli(tmp_path):
+    from tpuseg.cli.main import main
+
+    out = str(tmp_path / "exp")
+    rc = main(["export", "--export-out", out, "--export-size", "32x32",
+               "--set", "model.arch=ocrnet.HRNet_Mscale_Tiny",
+               "--set", "model.compute_dtype=float32",
+               "--set", "model.remat=False",
+               "--set", "model.n_scales=0.5,1.0"])
+    assert rc == 0
+    from tpuseg.serving import load_exported
+
+    serve = load_exported(out)
+    pred = serve(np.zeros((1, 32, 32, 3), np.float32))
+    assert pred.shape == (1, 32, 32, 19)

@@ -42,7 +42,13 @@ def load_config(config_path: str | None, sets: list[str]):
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="tpuseg")
     parser.add_argument("command",
-                        choices=["train", "eval", "dump", "summary"])
+                        choices=["train", "eval", "dump", "summary",
+                                 "export"])
+    parser.add_argument("--export-out", default="exported",
+                        help="output dir for `export` (StableHLO artifact)")
+    parser.add_argument("--export-size", default=None,
+                        help="HxW serving resolution for `export` "
+                             "(default: dataset.crop_size)")
     parser.add_argument("--config", default=None, help="YAML recipe")
     parser.add_argument("--set", dest="sets", action="append", default=[],
                         metavar="KEY=VALUE", help="dotted config override")
@@ -86,6 +92,33 @@ def main(argv=None):
         print(f"params: {info['params'] / 1e6:.2f}M  "
               f"fwd GFLOPs: {info['flops'] / 1e9:.1f}  "
               f"bytes accessed: {info['bytes_accessed'] / 1e9:.2f}GB")
+    elif args.command == "export":
+        # serialize the eval forward (weights baked in) for serving
+        import jax.numpy as jnp
+
+        from tpuseg.models import get_model
+        from tpuseg.serving import export_model
+
+        model = get_model(cfg)
+        example = jnp.zeros((1, 64, 64, 3),
+                            jnp.dtype(cfg.model.compute_dtype))
+        variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+            jax.random.PRNGKey(0), example)
+        if args.checkpoint:
+            from tpuseg.train.checkpoint import load_snapshot
+
+            params, stats = load_snapshot(
+                args.checkpoint, variables["params"],
+                variables.get("batch_stats", {}), print)
+            variables = {"params": params, "batch_stats": stats}
+        if args.export_size:
+            h, w = (int(s) for s in args.export_size.split("x"))
+        else:
+            h, w = cfg.dataset.crop_size
+        manifest = export_model(model, variables, (h, w), args.export_out)
+        print(f"exported {manifest['bytes'] / 1e6:.1f}MB artifact "
+              f"for input {manifest['input']['shape']} "
+              f"to {args.export_out}")
     elif args.command == "dump":
         from tpuseg.train.loop import evaluate_only
 
