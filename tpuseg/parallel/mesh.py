@@ -71,8 +71,18 @@ def shard_batch_spatial(mesh: Mesh, batch, data_axis: str = "data",
 
 
 def shard_batch(mesh: Mesh, batch, data_axis: str = "data"):
-    """Place a host batch onto the mesh, sharded over the data axis."""
+    """Place a host batch onto the mesh, sharded over the data axis.
+
+    Multi-host: ``batch`` is each host's LOCAL shard (global_batch /
+    process_count rows — setup_data shards the sampler per host) and the
+    global array is assembled from the per-host pieces without any host
+    ever materializing the full batch. Single-host: plain device_put.
+    """
     sharding = batch_sharding(mesh, data_axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

@@ -59,8 +59,12 @@ class Trainer:
         self.eval_model = self._make_eval_model()
         self.criterion, self.val_criterion = get_loss(cfg)
 
+        # per-host dataset shard (reference DistributedSampler semantics:
+        # datasets/sampler.py:43-110); shard_batch assembles the global
+        # batch from the per-host pieces
         self.train_loader, self.val_loader, self.train_set = setup_data(
             cfg, eval_mode=None, seed=cfg.train.seed,
+            num_shards=jax.process_count(), shard=jax.process_index(),
             is_primary=is_primary)
         self.steps_per_epoch = max(1, len(self.train_loader))
         if cfg.train.test_mode:
@@ -298,6 +302,8 @@ def evaluate_only(cfg: Config, logdir: str = "logs",
 
     _, val_loader, _ = setup_data(cfg, eval_mode=eval_mode,
                                   seed=cfg.train.seed,
+                                  num_shards=jax.process_count(),
+                                  shard=jax.process_index(),
                                   is_primary=is_primary)
 
     # param shapes are input-size-independent (all-conv nets), so init on a
