@@ -328,3 +328,17 @@ def test_cross_dataset_snapshot_transfer(tmp_path):
     cls_kernel = params["ocr"]["cls"]["kernel"]
     assert cls_kernel.shape[-1] == 19
     assert not (np.asarray(cls_kernel) == 0.25).all()
+
+
+def test_dump_topn_requires_labels(fake_cityscapes, tmp_path):
+    """folder/auto-label/submission modes have no ground truth: dump_topn
+    must refuse instead of ranking against dummy labels."""
+    import dataclasses
+
+    from tpuseg.train.loop import evaluate_only
+
+    cfg = engine_cfg(fake_cityscapes, str(tmp_path))
+    cfg = cfg.replace(eval=dataclasses.replace(cfg.eval, dump_topn=2,
+                                               dump_for_submission=True))
+    with pytest.raises(ValueError, match="labels"):
+        evaluate_only(cfg, logdir=str(tmp_path / "l"))

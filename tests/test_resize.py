@@ -92,3 +92,25 @@ def test_max_pool_matches_torch(rng):
         torch.from_numpy(x).permute(0, 3, 1, 2), 4, 4, 2,
     ).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
+
+
+def test_max_pool2d_matches_torch_incl_ceil_mode():
+    """torch F.max_pool2d parity incl. ceil_mode (Caffe-style SENet stem)
+    and torch's drop-window-starting-in-padding rule."""
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    from tpuseg.ops.resize import max_pool2d
+
+    rng = np.random.RandomState(0)
+    for size in (5, 7, 8, 32, 33):
+        for k, s, p in [(2, 2, 1), (3, 2, 1), (3, 2, 0), (3, 3, 1)]:
+            for ceil in (False, True):
+                x = rng.randn(1, size, size, 3).astype(np.float32)
+                got = np.asarray(max_pool2d(x, k, s, p, ceil_mode=ceil))
+                want = F.max_pool2d(
+                    torch.from_numpy(x).permute(0, 3, 1, 2), k, s, p,
+                    ceil_mode=ceil).permute(0, 2, 3, 1).numpy()
+                assert got.shape == want.shape, (size, k, s, p, ceil)
+                np.testing.assert_allclose(got, want, rtol=1e-6)

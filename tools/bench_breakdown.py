@@ -9,6 +9,8 @@ Times (relay-safe, see bench.py) jitted sub-graphs of the headline
   single20         - full single-scale pass at 2.0x (trunk+OCR+attn+upsample)
 
 Prints one JSON line per entry as it completes (restart-friendly).
+NOTE: rtt()/timeit()/scan_k mirror bench.py's calibrated relay-safe
+methodology — keep them in sync with bench.py if that changes.
 """
 import json
 import sys
@@ -90,8 +92,6 @@ def main():
     report("full_bf16fusion", timeit(f2, variables, x))
 
     # 3. bf16 fusion + bf16-stored conv kernels (BN stats/params stay f32)
-    def cast_kernels(t, path=()):
-        return t
     import flax
     flat = flax.traverse_util.flatten_dict(variables["params"])
     flat = {k: (v.astype(jnp.bfloat16) if k[-1] == "kernel" else v)

@@ -94,11 +94,20 @@ def main(argv=None):
               f"bytes accessed: {info['bytes_accessed'] / 1e9:.2f}GB")
     elif args.command == "export":
         # serialize the eval forward (weights baked in) for serving
+        import dataclasses
+
         import jax.numpy as jnp
 
+        from tpuseg.config import infer_mscale
         from tpuseg.models import get_model
         from tpuseg.serving import export_model
 
+        # same n_scales promotion as evaluate_only: the exported graph must
+        # be the one `tpuseg eval` runs (hierarchical nscale fusion), not
+        # the two-scale training-style fallback
+        if infer_mscale(cfg) and not cfg.model.n_scales:
+            cfg = cfg.replace(model=dataclasses.replace(
+                cfg.model, n_scales=tuple(cfg.eval.scales)))
         model = get_model(cfg)
         example = jnp.zeros((1, 64, 64, 3),
                             jnp.dtype(cfg.model.compute_dtype))
@@ -115,7 +124,8 @@ def main(argv=None):
             h, w = (int(s) for s in args.export_size.split("x"))
         else:
             h, w = cfg.dataset.crop_size
-        manifest = export_model(model, variables, (h, w), args.export_out)
+        manifest = export_model(model, variables, (h, w), args.export_out,
+                                input_dtype=cfg.model.compute_dtype)
         print(f"exported {manifest['bytes'] / 1e6:.1f}MB artifact "
               f"for input {manifest['input']['shape']} "
               f"to {args.export_out}")

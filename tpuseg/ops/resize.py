@@ -151,6 +151,10 @@ def max_pool2d(x: jnp.ndarray, window: int, stride: int | None = None,
         import math
 
         out = math.ceil((size + 2 * padding - window) / stride) + 1
+        # torch drops a ceil-mode window that would START in the right
+        # padding ((out-1)*stride >= size + left_pad)
+        if (out - 1) * stride >= size + padding:
+            out -= 1
         return max(0, (out - 1) * stride + window - size - 2 * padding)
 
     ph = pad_end(x.shape[1]) if ceil_mode else 0

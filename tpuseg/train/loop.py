@@ -195,7 +195,9 @@ class Trainer:
                 avg = float(loss_sum) / n_done
                 step = int(self.state.step)
                 lr = float(self.schedule(step))
-                imgs_s = (n_done * batch["image"].shape[0] /
+                # batch rows are per-host shards; img/s reports GLOBAL rate
+                imgs_s = (n_done * batch["image"].shape[0] *
+                          jax.process_count() /
                           max(time.time() - t_start, 1e-6))
                 self.logger.msg(
                     f"epoch {epoch} it {i + 1}/{self.steps_per_epoch} "
@@ -230,6 +232,14 @@ class Trainer:
         # variables for the eval model (same params/stats)
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
+        if jax.process_count() > 1:
+            # eval is HOST-LOCAL (reference DDP eval: each rank scores its
+            # val shard, hists allreduced at the end): per-host shards have
+            # divergent batch counts, so dispatching them against the
+            # globally-sharded train state would deadlock. Localize the
+            # replicated params (every device holds the full value).
+            variables = jax.tree.map(
+                lambda x: np.asarray(x.addressable_data(0)), variables)
         for val_idx, batch in enumerate(self.val_loader):
             if cfg.train.test_mode and val_idx >= 5:
                 break
@@ -329,7 +339,15 @@ def evaluate_only(cfg: Config, logdir: str = "logs",
         criterion=val_criterion,
         pad_multiple=cfg.eval.pad_multiple)
 
+    has_labels = eval_mode != "folder" and \
+        not cfg.eval.dump_for_auto_labelling and \
+        not cfg.eval.dump_for_submission
     if cfg.eval.dump_topn:
+        if not has_labels:
+            raise ValueError(
+                "eval.dump_topn ranks images by ground-truth failures and "
+                "needs labels: not available in folder/auto-label/"
+                "submission modes (reference --dump_topn: train.py:163-168)")
         from tpuseg.evaluation.topn import validate_topn
 
         return validate_topn(
@@ -344,9 +362,7 @@ def evaluate_only(cfg: Config, logdir: str = "logs",
             mean=cfg.dataset.mean, std=cfg.dataset.std, log=logger.msg,
             max_images=5 if cfg.train.test_mode else None)
 
-    calc_metrics = eval_mode != "folder" and \
-        not cfg.eval.dump_for_auto_labelling and \
-        not cfg.eval.dump_for_submission
+    calc_metrics = has_labels
 
     palette = getattr(val_loader.dataset, "palette", None)
     from tpuseg.data.cityscapes_labels import TRAINID_TO_ID
