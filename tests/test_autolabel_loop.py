@@ -58,6 +58,13 @@ def fake_tree(tmp_path):
         prob[:8, :] = 10                     # low-confidence strip
         Image.fromarray(prob).save(cc / "train_extra/aug" /
                                    f"{base}_leftImg8bit_prob.png")
+        # human gtCoarse companion: vegetation (labelId 21) in the right
+        # half, unlabeled (0) elsewhere
+        gtc_dir = root / "gtCoarse/gtCoarse/train_extra/aug"
+        gtc_dir.mkdir(parents=True, exist_ok=True)
+        gtc = np.zeros((H, W), np.uint8)
+        gtc[:, W // 2:] = 21
+        Image.fromarray(gtc).save(gtc_dir / f"{base}_gtCoarse_labelIds.png")
     return str(root), str(cc)
 
 
@@ -90,6 +97,81 @@ def test_custom_coarse_thresholding(fake_tree):
     # labelId-space pseudo labels correctly remapped: road 7->0, car 26->13
     vals = set(np.unique(label[8:, :]).tolist())
     assert vals == {0, 13}, vals
+
+
+def test_custom_coarse_dropout_classes(fake_tree):
+    """For dropout classes, the human gtCoarse annotation is unioned into
+    the auto-labelled mask before the trainId remap and before the
+    confidence threshold (reference --custom_coarse_dropout_classes ->
+    DROPOUT_COARSE_BOOST_CLASSES: config.py:351-354,
+    base_loader.py:177-183)."""
+    root, cc = fake_tree
+    over = {
+        "dataset.cityscapes_dir": root,
+        "dataset.cityscapes_customcoarse": cc,
+        "dataset.custom_coarse_prob": 0.5,
+        "dataset.class_uniform_pct": 0.0,
+        "dataset.coarse_boost_classes": (13,),
+        "dataset.crop_size": (H, W),
+        "dataset.scale_min": 1.0,
+        "dataset.scale_max": 1.0,
+        "dataset.color_aug": 0.0,
+    }
+    from tpuseg.data.cityscapes import Cityscapes
+
+    # vegetation = labelId 21 -> trainId 8
+    cfg = make_config({**over,
+                       "dataset.custom_coarse_dropout_classes": (8,)})
+    ds = Cityscapes(cfg.dataset, mode="train")
+    idx = next(i for i, rec in enumerate(ds.imgs) if "autolabelled" in rec[1])
+    label = ds[idx]["label"]
+    # gtCoarse vegetation (right half) overrides pseudo car/road ... except
+    # inside the low-confidence strip, which the threshold still drops
+    assert (label[8:, W // 2:] == 8).all()
+    assert (label[:8, :] == 255).all()
+    # left half untouched: road 7->0
+    assert (label[8:, : W // 2] == 0).all()
+
+    # without the knob the right half keeps the pseudo labels
+    ds0 = Cityscapes(make_config(over).dataset, mode="train")
+    label0 = ds0[idx]["label"]
+    assert set(np.unique(label0[8:, W // 2:]).tolist()) == {13}
+
+
+def test_only_coarse_and_disable_coarse(fake_tree, tmp_path):
+    """only_coarse pins the coarse centroid set; disable_coarse falls back
+    to fine-only (reference: cityscapes.py:169-180, train.py:433-445)."""
+    root, cc = fake_tree
+    cfg = make_config({
+        "dataset.cityscapes_dir": root,
+        "dataset.cityscapes_customcoarse": cc,
+        "dataset.custom_coarse_prob": 0.5,
+        "dataset.class_uniform_pct": 0.5,
+        "dataset.class_uniform_tile": 64,
+        "dataset.coarse_boost_classes": (13,),
+        "dataset.centroid_root": str(tmp_path / "centroids"),
+        "dataset.crop_size": (H, W),
+    })
+    from tpuseg.data.cityscapes import Cityscapes
+
+    ds = Cityscapes(cfg.dataset, mode="train")
+    ds.only_coarse()
+    assert all("autolabelled" in rec[1]
+               for recs in ds.centroids.values() for rec in recs)
+    ds.disable_coarse()
+    assert all("autolabelled" not in rec[1]
+               for recs in ds.centroids.values() for rec in recs)
+
+    # only_coarse without a coarse set is a config error
+    plain = Cityscapes(make_config({
+        "dataset.cityscapes_dir": root,
+        "dataset.class_uniform_pct": 0.5,
+        "dataset.class_uniform_tile": 64,
+        "dataset.centroid_root": str(tmp_path / "centroids2"),
+        "dataset.crop_size": (H, W),
+    }).dataset, mode="train")
+    with pytest.raises(ValueError, match="only_coarse"):
+        plain.only_coarse()
 
 
 def test_coarse_boost_centroids(fake_tree, tmp_path):

@@ -342,3 +342,43 @@ def test_dump_topn_requires_labels(fake_cityscapes, tmp_path):
                                                dump_for_submission=True))
     with pytest.raises(ValueError, match="labels"):
         evaluate_only(cfg, logdir=str(tmp_path / "l"))
+
+
+def test_per_scale_iou_and_default_scale(fake_cityscapes, tmp_path):
+    """Outer multi-scale eval reports a per-scale IoU breakdown, and
+    eval.default_scale sets the base inference scale (reference
+    --default_scale/--log_msinf_to_tb: trnval_utils.py:95-99,
+    misc.py:118-132 — the reference's per-scale table is degenerate
+    [eval_metrics hard-codes scales=[1.0]]; here it is live)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.evaluation.inference import EvalRunner
+    from tpuseg.evaluation.metrics import format_evaluate_results
+    from tpuseg.models import get_model
+
+    cfg = engine_cfg(fake_cityscapes, str(tmp_path))
+    model = get_model(cfg)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    batch = {"image": np.random.RandomState(0).randn(1, 32, 32, 3).astype(
+        np.float32), "label": np.zeros((1, 32, 32), np.int32)}
+
+    runner = EvalRunner(model, 19, scales=(1.0, 0.5), do_flip=True,
+                        is_mscale=True)
+    assets, hist, _ = runner.run_batch(variables, batch, calc_metrics=True)
+    sh = assets["scale_hists"]
+    assert sorted(sh) == [0.5, 1.0]
+    for h in sh.values():
+        assert h.shape == (19, 19) and h.sum() == 32 * 32
+    table = format_evaluate_results(hist, epoch=0, iou_per_scale=sh)
+    assert "iU_0.5" in table and "iU_1.0" in table
+    assert "mean iou @0.5x" in table
+
+    # default_scale != 1.0 as the base (and only) scale: output still at
+    # input resolution (resized back), exact hist
+    r2 = EvalRunner(model, 19, scales=(2.0,), is_mscale=True)
+    a2, h2, _ = r2.run_batch(variables, batch, calc_metrics=True)
+    assert a2["predictions"].shape == (1, 32, 32)
+    assert h2.sum() == 32 * 32
+    assert "scale_hists" not in a2  # single scale: no breakdown

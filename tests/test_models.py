@@ -184,3 +184,51 @@ def test_fusion_dtype_bf16_close_to_f32():
     b = np.argmax(np.asarray(outs["bfloat16"]), -1)
     assert (a == b).mean() > 0.95
     assert outs["bfloat16"].dtype == jnp.float32  # final cast preserved
+
+
+def test_attn_head_old_arch():
+    """--mscale_old_arch head: two 3x3 blocks then a kernel_size=out_ch
+    valid conv, all convs zero-init -> sigmoid(0)=0.5 attention everywhere
+    (reference old_make_attn_head/init_attn: network/utils.py:332-381)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.models.layers import AttnHead
+
+    head = AttnHead(out_ch=1, bot_ch=8, old_arch=True)
+    x = jnp.ones((1, 16, 16, 4), jnp.bfloat16)
+    v = head.init(jax.random.PRNGKey(0), x)
+    y = head.apply(v, x)
+    assert y.shape == (1, 16, 16, 1)
+    assert np.allclose(np.asarray(y), 0.5)
+    # parameter tree: conv0/conv1/cls like the new arch (converter-visible)
+    assert set(v["params"]) == {"conv0", "conv1", "cls"}
+
+    # the reference passes kernel_size=out_ch: a 2-channel head uses an
+    # unpadded 2x2 conv and shrinks by one pixel — kept faithfully
+    head2 = AttnHead(out_ch=2, bot_ch=8, old_arch=True)
+    v2 = head2.init(jax.random.PRNGKey(0), x)
+    assert head2.apply(v2, x).shape == (1, 15, 15, 2)
+
+
+def test_mscale_old_arch_factory_plumbing():
+    """model.mscale_old_arch reaches the scale_attn head of MscaleOCR."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.config import make_config
+    from tpuseg.models import get_model
+
+    cfg = make_config({"model.arch": "ocrnet.HRNet_Mscale_Tiny",
+                       "model.mscale_old_arch": True,
+                       "dataset.num_classes": 5})
+    m = get_model(cfg)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3),
+                                                jnp.bfloat16), train=False)
+    # zero-init cls conv of the old arch
+    cls_kernel = v["params"]["scale_attn"]["cls"]["kernel"]
+    assert np.allclose(np.asarray(cls_kernel), 0.0)
+    out = m.apply(v, jnp.ones((1, 32, 64, 3), jnp.bfloat16), train=False)
+    assert out["pred"].shape == (1, 32, 64, 5)
+    # attention stuck at 0.5 at init
+    assert np.allclose(np.asarray(out["attn_05x"]), 0.5)

@@ -134,3 +134,35 @@ def test_train_step_no_aux_archs(arch):
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_scl_poly_schedule_matches_reference_lambda():
+    """scl-poly: poly(poly_exp) before the restart epoch, then
+    rescale * (1 - frac)^repoly after (reference: loss/optimizer.py:77-88,
+    --rescale/--repoly defaults 1.0/1.5: train.py:102-105)."""
+    import math
+
+    from tpuseg.train.optim import make_schedule
+
+    cfg = make_config({
+        "optim.lr": 0.01, "optim.lr_schedule": "scl-poly",
+        "optim.poly_exp": 2.0, "optim.rescale_lr": 0.3,
+        "optim.repoly": 1.5, "train.max_epoch": 20,
+        "loss.reduce_border_epoch": 10,
+    })
+    sched = make_schedule(cfg, steps_per_epoch=5)
+
+    def ref(epoch):
+        if epoch < 10:
+            return 0.01 * math.pow(1 - epoch / 20, 2.0)
+        return 0.01 * 0.3 * math.pow(1 - (epoch - 10) / (20 - 10), 1.5)
+
+    for epoch in [0, 3, 9, 10, 15, 19]:
+        got = float(sched(epoch * 5))
+        assert abs(got - ref(epoch)) < 1e-9, (epoch, got, ref(epoch))
+
+    # scl-poly without a restart epoch is a config error (reference:
+    # optimizer.py:78-79)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="scl-poly"):
+        make_schedule(make_config({"optim.lr_schedule": "scl-poly"}), 5)

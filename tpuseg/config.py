@@ -37,6 +37,14 @@ class DatasetConfig:
     class_uniform_tile: int = 1024
     coarse_boost_classes: Sequence[int] | None = None
     custom_coarse_prob: float | None = None
+    # classes whose auto-labelled (custom-coarse) pixels are overridden by
+    # the human gtCoarse annotation when one exists (reference
+    # --custom_coarse_dropout_classes -> cfg.DROPOUT_COARSE_BOOST_CLASSES:
+    # config.py:351-354, datasets/base_loader.py:177-183)
+    custom_coarse_dropout_classes: Sequence[int] | None = None
+    # train ONLY on the coarse set (reference --only_coarse:
+    # train.py:434-437, datasets/cityscapes.py:175-180)
+    only_coarse: bool = False
     cv: int = 0
     cv_splits: int = 3
     # data roots
@@ -95,6 +103,9 @@ class ModelConfig:
     n_scales: Sequence[float] | None = None  # inference scales (config.py:126)
     mscale_inner_3x3: bool = True     # extra 3x3 in attn head (config.py:133)
     mscale_dropout: bool = False      # dropout in attn head (config.py:134)
+    # legacy zero-init attention head (reference --mscale_old_arch:
+    # config.py:324-325, network/utils.py:370-381)
+    mscale_old_arch: bool = False
     # NOTE: the four knobs below are intentionally dead, faithful to flags
     # the reference also defines but never reads (set in reference
     # config.py:123-136, consumed nowhere) — kept so recipes round-trip
@@ -124,6 +135,11 @@ class ModelConfig:
     # rematerialization of trunk stages — the reference's dead --grad_ckpt
     # flag (config.py:355-356) made live: needed for 1024x2048 crops.
     remat: bool = True
+    # selective remat (HRNet trunk): remat only these stage numbers,
+    # keeping the excluded stages' activations resident — skips their
+    # backward recompute at the cost of activation memory. None = all
+    # stages when remat is on. E.g. (1, 2, 3) skips recomputing stage 4.
+    remat_stages: Sequence[int] | None = None
     # opt-in fused Pallas OCR attention kernel; off by default — measured
     # on v5e, XLA's own fusion wins for this op and it is <1% of pipeline
     # time (tpuseg/models/ocr.py:ObjectAttention docstring)
@@ -163,11 +179,18 @@ class OptimConfig:
     poly_exp: float = 2.0
     poly_step: int = 110              # for scl-poly warm restart
     rescale_lr: float = 1.0
+    # post-restart poly exponent for scl-poly (reference --repoly:
+    # train.py:104-105, loss/optimizer.py:83-87)
+    repoly: float = 1.5
 
 
 @dataclass(frozen=True)
 class TrainConfig:
     max_epoch: int = 175
+    # stop class-uniform/coarse sampling after this epoch: the tail of
+    # training sees the natural fine distribution (reference --max_cu_epoch:
+    # train.py:439-445, datasets/cityscapes.py:169-173)
+    max_cu_epoch: int = 150
     batch_size: int = 8               # global batch (split across data axis)
     val_freq: int = 1
     seed: int = 0
@@ -188,6 +211,12 @@ class EvalConfig:
     do_flip: bool = False
     # extra avg-pooled scales applied *outside* the attention fusion
     extra_scales: Sequence[float] = ()
+    # primary scale for per-scale IoU reporting when extra_scales are on
+    # (reference --default_scale/--log_msinf_to_tb: train.py:188-193,
+    # utils/misc.py:118-132); per-scale tables logged when extra_scales set
+    default_scale: float = 1.0
+    # run eval without scoring (reference --no_metrics: train.py:265-266)
+    no_metrics: bool = False
     dump_assets: bool = False
     dump_all_images: bool = False
     dump_for_auto_labelling: bool = False

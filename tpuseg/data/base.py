@@ -79,9 +79,17 @@ class BaseDataset:
         if mask_out and self._drop_mask is not None:
             mask = (self._drop_mask[:mask.shape[0], :mask.shape[1]] *
                     mask).astype(mask.dtype)
+        mask = self._coarse_dropout_merge(mask, mask_path)
         mask = self._remap(mask)
         img_name = os.path.splitext(os.path.basename(img_path))[0]
         return img, Image.fromarray(mask.astype(np.uint8)), img_name
+
+    def _coarse_dropout_merge(self, mask: np.ndarray,
+                              mask_path: Optional[str]) -> np.ndarray:
+        """Hook: merge human gtCoarse labels into auto-labelled masks for
+        dataset.custom_coarse_dropout_classes (no-op outside cityscapes;
+        reference: base_loader.py:177-183)."""
+        return mask
 
     def threshold_custom_coarse(self, mask: Image.Image,
                                 mask_path: str) -> Image.Image:

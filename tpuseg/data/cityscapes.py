@@ -9,6 +9,7 @@ import os
 from os import path
 
 import numpy as np
+from PIL import Image
 
 from tpuseg.config import DatasetConfig
 from tpuseg.data import uniform
@@ -121,6 +122,42 @@ class Cityscapes(BaseDataset):
     def disable_coarse(self):
         """(reference: cityscapes.py:169-173)"""
         self.centroids = {int(k): v for k, v in self.fine_centroids.items()}
+
+    def _coarse_dropout_merge(self, mask, mask_path):
+        """For dataset.custom_coarse_dropout_classes, union the human
+        gtCoarse annotation into the auto-labelled mask: any pixel gtCoarse
+        marks as labelId k (trainId in the dropout set) joins that class
+        before the trainId remap. Equivalent to the reference's in-place
+        loop (base_loader.py:177-183 — its intermediate
+        ``mask[binary]=gtCoarse[binary]`` write is dead, both writes cover
+        the same index set); applied before the confidence threshold, so a
+        low pseudo-label prob still drops these pixels, as in the
+        reference (base_loader.py:213-224)."""
+        dropout = self.dcfg.custom_coarse_dropout_classes
+        cc_dir = self.dcfg.cityscapes_customcoarse
+        if not dropout or not mask_path or not cc_dir or \
+                cc_dir not in mask_path:
+            return mask
+        gt_path = mask_path.replace(
+            cc_dir, path.join(self.root, "gtCoarse/gtCoarse")).replace(
+            "leftImg8bit", "gtCoarse_labelIds")
+        gt_coarse = np.array(Image.open(gt_path))
+        mask = mask.copy()
+        for k, v in self.id_to_trainid.items():
+            if v in dropout:
+                mask[gt_coarse == k] = k
+        return mask
+
+    def only_coarse(self):
+        """Train on the coarse centroid set only
+        (reference: cityscapes.py:175-180)."""
+        coarse = getattr(self, "coarse_centroids", None)
+        if coarse is None:
+            raise ValueError(
+                "dataset.only_coarse needs the coarse set: configure "
+                "coarse_boost_classes + class_uniform_pct "
+                "(reference: train.py:434-437)")
+        self.centroids = {int(k): v for k, v in coarse.items()}
 
     def find_cityscapes_images(self, cities, img_root, mask_root,
                                fine_coarse="gtFine"):

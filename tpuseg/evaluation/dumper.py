@@ -132,7 +132,7 @@ class ImageDumper:
 
             if self.dump_assets:
                 for asset, value in dump_dict["assets"].items():
-                    if asset in ("predictions", "prob_mask"):
+                    if asset in ("predictions", "prob_mask", "scale_hists"):
                         continue
                     v = np.asarray(value[idx])
                     fn = f"{img_name}_{asset}.png"

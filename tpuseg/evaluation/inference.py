@@ -58,6 +58,9 @@ def make_eval_forward(
         flips = (1, 0) if do_flip else (0,)
         output = 0.0
         output_dict = {}
+        # flip-averaged logits per outer scale, for the per-scale IoU
+        # breakdown (reference iU_{scale} reporting: utils/misc.py:440-451)
+        per_scale = {s: 0.0 for s in scales} if len(scales) > 1 else {}
         for flip in flips:
             for scale in scales:
                 x = jnp.flip(image, axis=-2) if flip else image
@@ -68,20 +71,28 @@ def make_eval_forward(
                 pred = odict["pred"].astype(jnp.float32)
                 if not is_mscale:
                     output_dict[fmt_scale("pred", scale)] = pred
-                if flip == 0 and scale == 1.0:
+                if flip == 0 and scale == scales[0]:
                     # keep per-scale assets from the canonical orientation
+                    # at the base (default) scale
                     for k, v in odict.items():
                         if k.startswith(("pred_", "attn_")):
                             output_dict[k] = v.astype(jnp.float32)
                 if scale != 1.0:
                     pred = resize_bilinear(pred, input_size, align_corners)
-                output = output + (jnp.flip(pred, axis=-2) if flip else pred)
+                pred = jnp.flip(pred, axis=-2) if flip else pred
+                output = output + pred
+                if per_scale:
+                    per_scale[scale] = per_scale[scale] + pred
         output = output / (len(scales) * len(flips))
 
         probs = jax.nn.softmax(output, axis=-1)
         prob = jnp.max(probs, axis=-1)
         prediction = jnp.argmax(output, axis=-1).astype(jnp.int32)
         hist = fast_hist_jax(prediction, label, num_classes)
+        scale_hists = {
+            s: fast_hist_jax(jnp.argmax(v, axis=-1).astype(jnp.int32),
+                             label, num_classes)
+            for s, v in per_scale.items()}
 
         assets = {}
         for k, v in output_dict.items():
@@ -89,7 +100,7 @@ def make_eval_forward(
                 assets[k] = v
             elif k.startswith("pred_"):
                 assets[k] = jnp.argmax(v, axis=-1).astype(jnp.int32)
-        return output, prediction, prob, hist, assets
+        return output, prediction, prob, hist, assets, scale_hists
 
     return jax.jit(forward)
 
@@ -141,8 +152,8 @@ class EvalRunner:
             image, label, orig_hw = self._pad(image, label)
         image = jnp.asarray(image)
         label = jnp.asarray(label)
-        output, pred, prob, hist, assets = self.forward(variables, image,
-                                                        label)
+        output, pred, prob, hist, assets, scale_hists = self.forward(
+            variables, image, label)
         if orig_hw is not None:
             h, w = orig_hw
             output = output[:, :h, :w]
@@ -157,6 +168,11 @@ class EvalRunner:
             "predictions": pred_np,
             "prob_mask": np.asarray(prob),
         }
+        if scale_hists:
+            # per-outer-scale confusion matrices; callers accumulate these
+            # for the iU_{scale} breakdown (not an image asset)
+            out["scale_hists"] = {s: np.asarray(v)
+                                  for s, v in scale_hists.items()}
         for k, v in assets.items():
             out[k] = np.asarray(v)
         val_loss = None

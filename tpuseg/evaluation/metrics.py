@@ -79,9 +79,13 @@ def eval_metrics_from_hist(hist: np.ndarray) -> IoUMetrics:
 
 
 def format_evaluate_results(hist: np.ndarray, class_names: list[str] | None = None,
-                            epoch: int = 0) -> str:
+                            epoch: int = 0,
+                            iou_per_scale: dict | None = None) -> str:
     """Per-class IoU/precision/recall table
-    (reference: utils/misc.py:420-473)."""
+    (reference: utils/misc.py:420-473). ``iou_per_scale`` maps an outer
+    avgpool scale to its confusion matrix, adding per-scale iU columns
+    (reference iU_{scale} headers: misc.py:440-451 — degenerate there,
+    eval_metrics hard-codes scales=[1.0]; here it is live)."""
     hist = np.asarray(hist, dtype=np.float64)
     n = hist.shape[0]
     if class_names is None:
@@ -93,15 +97,26 @@ def format_evaluate_results(hist: np.ndarray, class_names: list[str] | None = No
         iu = tp / (tp + fp + fn)
         precision = tp / (tp + fp)
         recall = tp / (tp + fn)
+        scale_ius = {}
+        for scale, shist in (iou_per_scale or {}).items():
+            shist = np.asarray(shist, dtype=np.float64)
+            stp = np.diag(shist)
+            scale_ius[scale] = stp / (shist.sum(axis=0) + shist.sum(axis=1)
+                                      - stp)
+    scale_hdr = "".join(f" {'iU_' + str(s):>9}" for s in scale_ius)
     lines = [f"IoU results (epoch {epoch}):",
              f"{'id':>3} {'class':<16} {'iou':>7} {'precision':>10} "
-             f"{'recall':>8} {'tp':>12} {'fp':>12} {'fn':>12}"]
+             f"{'recall':>8} {'tp':>12} {'fp':>12} {'fn':>12}" + scale_hdr]
     for i in range(n):
+        scale_cols = "".join(f" {siu[i] * 100:>8.2f}%"
+                             for siu in scale_ius.values())
         lines.append(
             f"{i:>3} {class_names[i]:<16} {iu[i] * 100:>6.2f}% "
             f"{precision[i]:>10.4f} {recall[i]:>8.4f} "
-            f"{tp[i]:>12.0f} {fp[i]:>12.0f} {fn[i]:>12.0f}")
+            f"{tp[i]:>12.0f} {fp[i]:>12.0f} {fn[i]:>12.0f}" + scale_cols)
     lines.append(f"mean iou: {np.nanmean(iu) * 100:.2f}%")
+    for scale, siu in scale_ius.items():
+        lines.append(f"mean iou @{scale}x: {np.nanmean(siu) * 100:.2f}%")
     return "\n".join(lines)
 
 

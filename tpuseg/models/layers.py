@@ -121,16 +121,36 @@ class SegHead(nn.Module):
 
 class AttnHead(nn.Module):
     """Scale-attention head: conv-BN-relu (x2) -> 1x1 -> sigmoid
-    (reference make_attn_head: network/utils.py:343-367)."""
+    (reference make_attn_head: network/utils.py:343-367).
+
+    ``old_arch`` reproduces the reference's --mscale_old_arch variant
+    (old_make_attn_head + init_attn: network/utils.py:332-381): always two
+    3x3 conv-BN-relu blocks, then a final conv whose kernel size equals
+    ``out_ch`` with no padding (the reference passes ``kernel_size=out_ch``
+    — a quirk kept faithfully; it is 1x1 for the usual 1-channel head), all
+    conv weights zero-initialized (init_attn; convs are bias-free so only
+    the zeros matter — BN init is the default weight=1/bias=0).
+    """
 
     out_ch: int = 1
     bot_ch: int = 256
     inner_3x3: bool = True
     dropout: bool = False
+    old_arch: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.old_arch:
+            x = ConvNormAct(self.bot_ch, 3, dtype=self.dtype,
+                            kernel_init=nn.initializers.zeros,
+                            name="conv0")(x, train)
+            x = ConvNormAct(self.bot_ch, 3, dtype=self.dtype,
+                            kernel_init=nn.initializers.zeros,
+                            name="conv1")(x, train)
+            x = conv(self.out_ch, self.out_ch, padding=0, dtype=self.dtype,
+                     kernel_init=nn.initializers.zeros, name="cls")(x)
+            return nn.sigmoid(x.astype(jnp.float32))
         x = ConvNormAct(self.bot_ch, 3, dtype=self.dtype, name="conv0")(x, train)
         if self.inner_3x3:
             x = ConvNormAct(self.bot_ch, 3, dtype=self.dtype, name="conv1")(x, train)

@@ -95,6 +95,7 @@ class MscaleV3Plus(nn.Module):
     align_corners: bool = False
     bot_ch: int = 256
     attn_inner_3x3: bool = True
+    attn_old_arch: bool = False
     remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
@@ -115,6 +116,7 @@ class MscaleV3Plus(nn.Module):
         self.scale_attn = AttnHead(out_ch=2 if self.attn_2b else 1,
                                    bot_ch=self.bot_ch,
                                    inner_3x3=self.attn_inner_3x3,
+                                   old_arch=self.attn_old_arch,
                                    dtype=self.dtype, name="scale_attn")
 
     def _fwd(self, x, aspp_lo=None, aspp_attn=None, train=False):
@@ -164,6 +166,7 @@ class MscaleDeeper(nn.Module):
     lo_scale: float = 0.5
     align_corners: bool = False
     attn_inner_3x3: bool = True
+    attn_old_arch: bool = False
     remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
@@ -184,6 +187,7 @@ class MscaleDeeper(nn.Module):
                              name="conv_up5")
         self.scale_attn = AttnHead(out_ch=2 if self.attn_2b else 1,
                                    inner_3x3=self.attn_inner_3x3,
+                                   old_arch=self.attn_old_arch,
                                    dtype=self.dtype, name="scale_attn")
 
     def _fwd(self, x, aspp_lo=None, aspp_attn=None, train=False):
@@ -232,6 +236,7 @@ class MscaleBasic(nn.Module):
     lo_scale: float = 0.5
     align_corners: bool = False
     attn_inner_3x3: bool = True
+    attn_old_arch: bool = False
     fuse_aspp: bool = False
     remat: bool = False
     dtype: Dtype = jnp.bfloat16
@@ -244,6 +249,7 @@ class MscaleBasic(nn.Module):
                                 name="cls_head")
         self.scale_attn = AttnHead(out_ch=1,
                                    inner_3x3=self.attn_inner_3x3,
+                                   old_arch=self.attn_old_arch,
                                    dtype=self.dtype, name="scale_attn")
 
     def _fwd(self, x, aspp_lo=None, aspp_attn=None, train=False):
@@ -265,6 +271,7 @@ def _common(cfg):
                 lo_scale=cfg.model.mscale_lo_scale,
                 align_corners=cfg.model.align_corners,
                 attn_inner_3x3=cfg.model.mscale_inner_3x3,
+                attn_old_arch=cfg.model.mscale_old_arch,
                 remat=cfg.model.remat,
                 dtype=jnp.dtype(cfg.model.compute_dtype))
 

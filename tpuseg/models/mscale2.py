@@ -90,6 +90,7 @@ class MscaleV3Plus2(nn.Module):
     n_scales: Sequence[float] = ()
     lo_scale: float = 0.5
     align_corners: bool = False
+    attn_old_arch: bool = False
     remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
@@ -138,6 +139,7 @@ class Basic2(nn.Module):
     n_scales: Sequence[float] = ()
     lo_scale: float = 0.5
     align_corners: bool = False
+    attn_old_arch: bool = False
     remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
@@ -147,8 +149,9 @@ class Basic2(nn.Module):
             align_corners=self.align_corners)
         self.cls_head = SegHead(self.num_classes, 256, dtype=self.dtype,
                                 name="cls_head")
-        self.scale_attn = AttnHead(out_ch=1, bot_ch=256, dtype=self.dtype,
-                                   name="scale_attn")
+        self.scale_attn = AttnHead(out_ch=1, bot_ch=256,
+                                   old_arch=self.attn_old_arch,
+                                   dtype=self.dtype, name="scale_attn")
 
     def _fwd(self, x, train=False):
         _, _, high = self.backbone(x, train)
@@ -179,6 +182,7 @@ def _common(cfg):
                 n_scales=tuple(cfg.model.n_scales or ()),
                 lo_scale=cfg.model.mscale_lo_scale,
                 align_corners=cfg.model.align_corners,
+                attn_old_arch=cfg.model.mscale_old_arch,
                 remat=cfg.model.remat,
                 dtype=jnp.dtype(cfg.model.compute_dtype))
 

@@ -106,6 +106,7 @@ class MscaleOCR(nn.Module):
     attn_bot_ch: int = 256
     attn_inner_3x3: bool = True
     attn_dropout: bool = False
+    attn_old_arch: bool = False
     remat: bool = False
     use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
@@ -124,6 +125,7 @@ class MscaleOCR(nn.Module):
         self.scale_attn = AttnHead(out_ch=1, bot_ch=self.attn_bot_ch,
                                    inner_3x3=self.attn_inner_3x3,
                                    dropout=self.attn_dropout,
+                                   old_arch=self.attn_old_arch,
                                    dtype=self.dtype, name="scale_attn")
 
     def single_scale(self, x, train: bool = False, need_aux: bool = True):
@@ -183,6 +185,7 @@ def HRNet_Mscale(cfg):
         attn_bot_ch=cfg.model.segattn_bot_ch,
         attn_inner_3x3=cfg.model.mscale_inner_3x3,
         attn_dropout=cfg.model.mscale_dropout,
+        attn_old_arch=cfg.model.mscale_old_arch,
         fusion_dtype=cfg.model.eval_fusion_dtype,
         **_common(cfg),
     )
@@ -196,6 +199,7 @@ def HRNet_Mscale_Tiny(cfg):
         lo_scale=cfg.model.mscale_lo_scale,
         attn_bot_ch=16,
         attn_inner_3x3=cfg.model.mscale_inner_3x3,
+        attn_old_arch=cfg.model.mscale_old_arch,
         fusion_dtype=cfg.model.eval_fusion_dtype,
         **{**_common(cfg), "mid_channels": 32, "key_channels": 16},
     )

@@ -65,7 +65,7 @@ def make_schedule(cfg: Config, steps_per_epoch: int):
             raise ValueError("scl-poly requires loss.reduce_border_epoch")
         return scl_poly_schedule(oc.lr, cfg.train.max_epoch, oc.poly_exp,
                                  cfg.loss.reduce_border_epoch, oc.rescale_lr,
-                                 1.0, steps_per_epoch)
+                                 oc.repoly, steps_per_epoch)
     raise ValueError(f"unknown lr schedule {oc.lr_schedule}")
 
 
