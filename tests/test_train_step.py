@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import chex
 import pytest
 
 from tpuseg.config import make_config
@@ -166,3 +167,40 @@ def test_scl_poly_schedule_matches_reference_lambda():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="scl-poly"):
         make_schedule(make_config({"optim.lr_schedule": "scl-poly"}), 5)
+
+
+def test_selective_remat_stages_grad():
+    """model.remat_stages remats only the listed HRNet stages; gradients
+    flow and match the full-remat configuration (same function, different
+    checkpointing)."""
+    def grads(stages):
+        cfg = make_config({
+            "model.arch": "ocrnet.HRNet_Mscale_Tiny",
+            "model.compute_dtype": "float32",
+            "model.remat": True,
+            "model.remat_stages": stages,
+            "dataset.num_classes": 5,
+        })
+        model = get_model(cfg)
+        v = model.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 32, 64, 3)), train=False)
+
+        def loss(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": v["batch_stats"]},
+                jnp.ones((1, 32, 64, 3)), train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1)})
+            return jnp.mean(out["pred"] ** 2)
+
+        return v["params"], jax.jit(jax.grad(loss))(v["params"])
+
+    p1, g_sel = grads((1, 2, 3))
+    p2, g_all = grads(None)
+    # same params (remat does not change the function)
+    chex.assert_trees_all_close(p1, p2, rtol=0, atol=0)
+    # L1-relative over all leaves (per CLAUDE.md convention)
+    num = sum(float(jnp.abs(a - b).sum())
+              for a, b in zip(jax.tree.leaves(g_sel), jax.tree.leaves(g_all)))
+    den = sum(float(jnp.abs(a).sum()) for a in jax.tree.leaves(g_all))
+    assert num / max(den, 1e-9) < 1e-5

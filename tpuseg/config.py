@@ -117,6 +117,9 @@ class ModelConfig:
     segattn_bot_ch: int = 256         # seg/attn head bottleneck (config.py:130)
     aspp_bot_ch: int = 256            # ASPP bottleneck (config.py:131)
     attnscale_bn_head: bool = False
+    # dead like the four above: reference sets MODEL.EXTRA_SCALES
+    # (config.py:289-290) but eval reads args.extra_scales directly
+    # (trnval_utils.py:97) — the live knob here is eval.extra_scales
     extra_scales: Sequence[float] = (0.5, 1.5)
     # norm behavior: cross-replica (sync) batch statistics via lax.pmean over
     # the data mesh axis — the TPU-native equivalent of apex SyncBatchNorm

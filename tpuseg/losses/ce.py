@@ -20,7 +20,11 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
     valid = (labels >= 0) & (labels < num_classes)
     safe = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    # one-hot contraction, not take_along_axis: identical values (summing
+    # exact zeros), but the backward is a dense multiply instead of a
+    # full-resolution scatter (slow on TPU)
+    onehot = jax.nn.one_hot(safe, num_classes, dtype=logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     nll = jnp.where(valid, nll, 0.0)
     return nll.sum() / jnp.maximum(valid.sum(), 1)
 
@@ -68,7 +72,9 @@ def image_weighted_cross_entropy(
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     valid = (labels >= 0) & (labels < num_classes)
     safe = jnp.where(valid, labels, 0)
-    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]  # (B,H,W)
+    # scatter-free backward (see cross_entropy)
+    onehot = jax.nn.one_hot(safe, num_classes, dtype=logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)  # (B,H,W)
 
     if batch_weighting:
         w = _image_class_weights(labels, num_classes, upper_bound, norm)

@@ -17,6 +17,13 @@ def get_model(cfg: "Config"):
     """Resolve cfg.model.arch to a constructed flax module
     (reference: network/__init__.py:12-54, minus the criterion — losses are
     external pure functions here)."""
+    if cfg.model.remat and cfg.model.remat_stages:
+        # selective remat: the HRNet trunk remats only the listed stages
+        # (other trunks treat any non-empty value as full remat)
+        import dataclasses
+
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, remat=tuple(cfg.model.remat_stages)))
     module_name, fn_name = cfg.model.arch.split(".")
     mod = importlib.import_module(f"tpuseg.models.{module_name}")
     factory = getattr(mod, fn_name)

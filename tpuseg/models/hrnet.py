@@ -216,14 +216,24 @@ class HRNetV2(nn.Module):
 
     spec: HRNetSpec = W48_SPEC
     align_corners: bool = False
+    # False = no remat; True = remat every stage; a tuple of stage numbers
+    # (e.g. (1, 2, 3)) remats only those stages — selective remat trades a
+    # little activation memory for skipping the recompute of the excluded
+    # (usually most expensive) stages
     remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         s = self.spec
-        HRM = nn.remat(HRModule, static_argnums=(2,)) if self.remat else HRModule
-        BNK = nn.remat(Bottleneck, static_argnums=(2,)) if self.remat else Bottleneck
+        stages = (tuple(self.remat) if isinstance(self.remat, (tuple, list))
+                  else ((1, 2, 3, 4) if self.remat else ()))
+        RHRM = nn.remat(HRModule, static_argnums=(2,))
+        HRM2 = RHRM if 2 in stages else HRModule
+        HRM3 = RHRM if 3 in stages else HRModule
+        HRM4 = RHRM if 4 in stages else HRModule
+        BNK = nn.remat(Bottleneck, static_argnums=(2,)) if 1 in stages \
+            else Bottleneck
 
         # stem: two stride-2 3x3 convs (reference: hrnetv2.py:270-276)
         x = conv(64, 3, 2, dtype=self.dtype, kernel_init=hrnet_normal,
@@ -245,20 +255,20 @@ class HRNetV2(nn.Module):
         xs = Transition((stage1_out,), tuple(s.stage2_channels),
                         dtype=self.dtype, name="transition1")([x], train)
         for m in range(s.stage2_modules):
-            xs = HRM(tuple(s.stage2_channels), s.stage2_blocks,
-                     self.align_corners, self.dtype, name=f"stage2_m{m}")(xs, train)
+            xs = HRM2(tuple(s.stage2_channels), s.stage2_blocks,
+                      self.align_corners, self.dtype, name=f"stage2_m{m}")(xs, train)
 
         xs = Transition(tuple(s.stage2_channels), tuple(s.stage3_channels),
                         dtype=self.dtype, name="transition2")(xs, train)
         for m in range(s.stage3_modules):
-            xs = HRM(tuple(s.stage3_channels), s.stage3_blocks,
-                     self.align_corners, self.dtype, name=f"stage3_m{m}")(xs, train)
+            xs = HRM3(tuple(s.stage3_channels), s.stage3_blocks,
+                      self.align_corners, self.dtype, name=f"stage3_m{m}")(xs, train)
 
         xs = Transition(tuple(s.stage3_channels), tuple(s.stage4_channels),
                         dtype=self.dtype, name="transition3")(xs, train)
         for m in range(s.stage4_modules):
-            xs = HRM(tuple(s.stage4_channels), s.stage4_blocks,
-                     self.align_corners, self.dtype, name=f"stage4_m{m}")(xs, train)
+            xs = HRM4(tuple(s.stage4_channels), s.stage4_blocks,
+                      self.align_corners, self.dtype, name=f"stage4_m{m}")(xs, train)
 
         # final 4-branch upsample-concat (reference: hrnetv2.py:438-447)
         size = xs[0].shape[-3:-1]

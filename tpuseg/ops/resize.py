@@ -33,8 +33,9 @@ All tensors are NHWC.
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,21 +49,76 @@ def _source_coords(in_size: int, out_size: int, align_corners: bool) -> np.ndarr
     return np.maximum(src, 0.0)
 
 
-def _lerp_axis(x: jnp.ndarray, axis: int, out_size: int, align_corners: bool):
-    in_size = x.shape[axis]
-    if in_size == out_size:
-        return x
+@lru_cache(maxsize=None)
+def _gather_tables(in_size: int, out_size: int, align_corners: bool):
     src = _source_coords(in_size, out_size, align_corners)
     i0 = np.minimum(np.floor(src).astype(np.int64), in_size - 1)
     i1 = np.minimum(i0 + 1, in_size - 1)
     w1 = (src - i0).astype(np.float32)
+    return i0, i1, w1
 
+
+@lru_cache(maxsize=None)
+def _transpose_tables(in_size: int, out_size: int, align_corners: bool):
+    """Transpose of the two-neighbor lerp as K gathers.
+
+    fwd: out[i] = (1-w1[i]) * in[i0[i]] + w1[i] * in[i1[i]]
+    transpose: in_ct[j] = sum over outputs i touching j of their weight *
+    out_ct[i]. Each input j is touched by a contiguous run of outputs, so
+    the transpose is K fixed gathers + weighted sum — NOT a scatter-add
+    (XLA lowers the gather transpose to scatter, measured 30x slower than
+    the forward gather on TPU v5e).
+    """
+    i0, i1, w1 = _gather_tables(in_size, out_size, align_corners)
+    contrib: list[dict] = [dict() for _ in range(in_size)]
+    for i in range(out_size):
+        contrib[i0[i]][i] = contrib[i0[i]].get(i, 0.0) + (1.0 - float(w1[i]))
+        contrib[i1[i]][i] = contrib[i1[i]].get(i, 0.0) + float(w1[i])
+    k_max = max(len(c) for c in contrib)
+    idx = np.zeros((in_size, k_max), np.int64)
+    wts = np.zeros((in_size, k_max), np.float32)
+    for j, c in enumerate(contrib):
+        for k, (i, w) in enumerate(sorted(c.items())):
+            idx[j, k] = i
+            wts[j, k] = w
+    return idx, wts
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _lerp_axis_diff(x: jnp.ndarray, axis: int, out_size: int,
+                    align_corners: bool, in_size: int):
+    i0, i1, w1 = _gather_tables(in_size, out_size, align_corners)
     x0 = jnp.take(x, jnp.asarray(i0), axis=axis)
     x1 = jnp.take(x, jnp.asarray(i1), axis=axis)
     shape = [1] * x.ndim
     shape[axis] = out_size
     w1 = jnp.asarray(w1).reshape(shape)
     return x0 + (x1 - x0) * w1
+
+
+def _lerp_fwd(x, axis, out_size, align_corners, in_size):
+    return _lerp_axis_diff(x, axis, out_size, align_corners, in_size), None
+
+
+def _lerp_bwd(axis, out_size, align_corners, in_size, _res, ct):
+    idx, wts = _transpose_tables(in_size, out_size, align_corners)
+    shape = [1] * ct.ndim
+    shape[axis] = in_size
+    acc = None
+    for k in range(idx.shape[1]):
+        term = jnp.take(ct, jnp.asarray(idx[:, k]), axis=axis) * \
+            jnp.asarray(wts[:, k]).reshape(shape)
+        acc = term if acc is None else acc + term
+    return (acc,)
+
+
+_lerp_axis_diff.defvjp(_lerp_fwd, _lerp_bwd)
+
+
+def _lerp_axis(x: jnp.ndarray, axis: int, out_size: int, align_corners: bool):
+    if x.shape[axis] == out_size:
+        return x
+    return _lerp_axis_diff(x, axis, out_size, align_corners, x.shape[axis])
 
 
 def resize_bilinear(

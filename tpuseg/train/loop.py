@@ -97,8 +97,8 @@ class Trainer:
         # compile on the remote TPU)
         self.eval_runner = EvalRunner(
             self.eval_model, cfg.dataset.num_classes,
-            scales=(1.0,) if not cfg.eval.extra_scales else
-            (1.0, *cfg.eval.extra_scales),
+            scales=(cfg.eval.default_scale,
+                    *(cfg.eval.extra_scales or ())),
             do_flip=cfg.eval.do_flip,
             align_corners=cfg.model.align_corners,
             is_mscale=infer_mscale(cfg),
@@ -153,12 +153,17 @@ class Trainer:
             crit = partial(self.criterion, invert_border=invert_border)
         key = "_train_step_invert" if invert_border else "_train_step"
         if getattr(self, key) is None:
+            # donate the state: XLA reuses the param/optimizer buffers
+            # (~3x params) for the outputs instead of holding both copies
+            # across the step — the difference between fitting and OOM for
+            # 1024x2048 crops without remat (no-op on CPU)
             setattr(self, key, jax.jit(make_train_step(
                 self.model, crit,
                 ocr_alpha=lc.ocr_alpha,
                 aux_rmi=lc.ocr_aux_rmi,
                 supervised_mscale_wt=lc.supervised_mscale_wt,
-                align_corners=self.cfg.model.align_corners)))
+                align_corners=self.cfg.model.align_corners),
+                donate_argnums=(0,)))
         return getattr(self, key)
 
     # ------------------------------------------------------------------
@@ -172,6 +177,16 @@ class Trainer:
 
         if self.train_set is not None and hasattr(self.train_set,
                                                   "build_epoch"):
+            # coarse-sampling epoch schedule (reference: train.py:433-445):
+            # only_coarse pins the coarse centroid set; otherwise the
+            # class-uniform mix drops back to fine-only after max_cu_epoch
+            if cfg.dataset.only_coarse and hasattr(self.train_set,
+                                                   "only_coarse"):
+                self.train_set.only_coarse()
+            elif (cfg.dataset.class_uniform_pct and
+                  epoch >= cfg.train.max_cu_epoch and
+                  hasattr(self.train_set, "disable_coarse")):
+                self.train_set.disable_coarse()
             self.train_set.build_epoch(epoch)
         self.train_loader.set_epoch(epoch)
 
@@ -228,6 +243,7 @@ class Trainer:
 
         total_hist = np.zeros(
             (cfg.dataset.num_classes, cfg.dataset.num_classes), np.float64)
+        scale_hists: dict = {}
         val_loss = AverageMeter()
         # variables for the eval model (same params/stats)
         variables = {"params": self.state.params,
@@ -246,6 +262,8 @@ class Trainer:
             assets, hist, loss = runner.run_batch(variables, batch,
                                                   calc_metrics)
             total_hist += hist
+            for s, sh in assets.get("scale_hists", {}).items():
+                scale_hists[s] = scale_hists.get(s, 0) + sh
             if loss is not None:
                 val_loss.update(loss, 1)
             dumper.dump({"input_images": batch["image"],
@@ -261,14 +279,18 @@ class Trainer:
             return None
 
         total_hist = multihost_sum(total_hist)
+        scale_hists = {s: multihost_sum(np.asarray(h, np.float64))
+                       for s, h in scale_hists.items()}
         metrics = eval_metrics_from_hist(total_hist)
         class_names = list(getattr(self.val_loader.dataset,
                                    "trainid_to_name", {}).values()) or None
         self.logger.msg("\n" + format_evaluate_results(
-            total_hist, class_names, epoch))
-        self.logger.metric("val", {"loss": val_loss.avg,
-                                   "mIoU": metrics.mean_iou,
-                                   "acc": metrics.acc}, int(self.state.step))
+            total_hist, class_names, epoch, iou_per_scale=scale_hists))
+        val_scalars = {"loss": val_loss.avg, "mIoU": metrics.mean_iou,
+                       "acc": metrics.acc}
+        for s, h in scale_hists.items():  # reference --log_msinf_to_tb
+            val_scalars[f"mIoU_{s}x"] = eval_metrics_from_hist(h).mean_iou
+        self.logger.metric("val", val_scalars, int(self.state.step))
         dumper.write_summaries(self.logger, int(self.state.step))
         dumper.write_webpage()
 
@@ -331,8 +353,7 @@ def evaluate_only(cfg: Config, logdir: str = "logs",
 
     runner = EvalRunner(
         model, cfg.dataset.num_classes,
-        scales=(1.0,) if not cfg.eval.extra_scales else
-        (1.0, *cfg.eval.extra_scales),
+        scales=(cfg.eval.default_scale, *(cfg.eval.extra_scales or ())),
         do_flip=cfg.eval.do_flip, align_corners=cfg.model.align_corners,
         is_mscale=infer_mscale(cfg),
         ignore_label=cfg.dataset.ignore_label,
@@ -362,7 +383,8 @@ def evaluate_only(cfg: Config, logdir: str = "logs",
             mean=cfg.dataset.mean, std=cfg.dataset.std, log=logger.msg,
             max_images=5 if cfg.train.test_mode else None)
 
-    calc_metrics = has_labels
+    # reference --no_metrics (train.py:420-421): dump without scoring
+    calc_metrics = has_labels and not cfg.eval.no_metrics
 
     palette = getattr(val_loader.dataset, "palette", None)
     from tpuseg.data.cityscapes_labels import TRAINID_TO_ID
@@ -378,11 +400,14 @@ def evaluate_only(cfg: Config, logdir: str = "logs",
 
     total_hist = np.zeros(
         (cfg.dataset.num_classes, cfg.dataset.num_classes), np.float64)
+    scale_hists: dict = {}
     for val_idx, batch in enumerate(val_loader):
         if cfg.train.test_mode and val_idx >= 5:
             break
         assets, hist, _ = runner.run_batch(variables, batch, calc_metrics)
         total_hist += hist
+        for s, sh in assets.get("scale_hists", {}).items():
+            scale_hists[s] = scale_hists.get(s, 0) + sh
         dumper.dump({"input_images": batch["image"],
                      "gt_images": batch["label"],
                      "img_names": batch["name"],
@@ -393,10 +418,13 @@ def evaluate_only(cfg: Config, logdir: str = "logs",
     dumper.write_webpage()
     if calc_metrics:
         total_hist = multihost_sum(total_hist)
+        scale_hists = {s: multihost_sum(np.asarray(h, np.float64))
+                       for s, h in scale_hists.items()}
         metrics = eval_metrics_from_hist(total_hist)
         class_names = list(getattr(val_loader.dataset, "trainid_to_name",
                                    {}).values()) or None
-        logger.msg("\n" + format_evaluate_results(total_hist, class_names))
+        logger.msg("\n" + format_evaluate_results(
+            total_hist, class_names, iou_per_scale=scale_hists))
         logger.msg(f"mean mIoU: {metrics.mean_iou:.4f}")
         return metrics
     return None
