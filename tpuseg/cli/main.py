@@ -20,12 +20,15 @@ from tpuseg.config import make_config
 
 
 def _parse_value(v: str):
-    if "," in v:
-        return tuple(_parse_value(x) for x in v.split(",") if x != "")
+    # whole-literal first so bracketed lists ("[64,64]") work; the bare
+    # comma form ("64,64") mirrors the reference's flag syntax
     try:
         return ast.literal_eval(v)
     except (ValueError, SyntaxError):
-        return v
+        pass
+    if "," in v:
+        return tuple(_parse_value(x) for x in v.split(",") if x != "")
+    return v
 
 
 def load_config(config_path: str | None, sets: list[str]):
