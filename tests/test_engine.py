@@ -171,6 +171,32 @@ def test_cli_config_parsing(tmp_path):
     assert cfg.optim.lr == 0.01
     assert cfg.train.batch_size == 4
     assert cfg.eval.scales == (0.5, 1.0, 2.0)
+    # bracketed-list override form
+    cfg = load_config(None, ["dataset.crop_size=[64,128]"])
+    assert tuple(cfg.dataset.crop_size) == (64, 128)
+
+
+def test_all_shipped_recipes_load():
+    """Every recipe under cli/recipes must round-trip through make_config.
+
+    Guards recipe keys against config-schema drift (the reference's runx
+    YAMLs are only validated at launch time, scripts/*.yml)."""
+    import glob
+    import os
+
+    from tpuseg.cli.main import load_config
+    from tpuseg.models import get_model
+
+    recipes = sorted(glob.glob(os.path.join(
+        os.path.dirname(__file__), "..", "tpuseg", "cli", "recipes",
+        "*.yaml")))
+    assert len(recipes) >= 8
+    for path in recipes:
+        cfg = load_config(path, [])
+        # the arch string must resolve in the model registry
+        module, _, fn = cfg.model.arch.partition(".")
+        assert module and fn, path
+        get_model(cfg.replace())  # raises if the factory is unknown
 
 
 def test_eval_runner_pad_multiple(fake_cityscapes, tmp_path):
