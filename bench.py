@@ -30,26 +30,15 @@ chip's limit for this graph shape: docs/ROOFLINE.md).
 from __future__ import annotations
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
 
+from tools._timing import scan_k, timeit_scan
+
 H, W = 1024, 2048
 SCALES = (0.5, 1.0, 2.0)
 A100_BASELINE_MPX_S = 5.0  # derived; see docs/ROOFLINE.md
-K = 4                      # model evals per timed readback
-REPS = 2
-
-
-def _measure_rtt() -> float:
-    h = jax.jit(lambda x: x + 1.0)
-    float(h(jnp.float32(0)))
-    t0 = time.perf_counter()
-    n = 10
-    for i in range(n):
-        float(h(jnp.float32(i)))
-    return (time.perf_counter() - t0) / n
 
 
 def main():
@@ -67,28 +56,9 @@ def main():
     variables = jax.jit(lambda k, xi: model.init(k, xi, train=False))(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3), jnp.bfloat16))
 
-    def run_k(v, x):
-        def body(carry, i):
-            xi = x * (1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
-            pred = model.apply(v, xi, train=False)["pred"]
-            return carry + jnp.mean(pred), None
-
-        total, _ = jax.lax.scan(body, jnp.float32(0),
-                                jnp.arange(K, dtype=jnp.int32))
-        return total
-
-    fwd = jax.jit(run_k)
+    fwd = scan_k(lambda v, xi: model.apply(v, xi, train=False)["pred"])
     x = jax.random.normal(jax.random.PRNGKey(1), (1, H, W, 3), jnp.bfloat16)
-
-    float(fwd(variables, x))  # compile + warm
-    rtt = _measure_rtt()
-
-    times = []
-    for r in range(REPS):
-        t0 = time.perf_counter()
-        float(fwd(variables, x * jnp.bfloat16(1.0 + 0.1 * r)))
-        times.append(time.perf_counter() - t0)
-    dt = (min(times) - rtt) / K
+    dt = timeit_scan(fwd, variables, x)
 
     mpx_per_sec = (H * W / 1e6) / dt
     print(json.dumps({

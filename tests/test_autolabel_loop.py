@@ -52,6 +52,11 @@ def fake_tree(tmp_path):
         # misc.py:316-324): car=26, road=7
         pl = np.full((H, W), 26, np.uint8)
         pl[:, : W // 2] = 7
+        if i == 0:
+            # one vegetation (21) pixel so the dropout-merge presence
+            # guard fires for image 0 only; placed inside the
+            # low-confidence strip so it never survives thresholding
+            pl[0, 0] = 21
         Image.fromarray(pl).save(cc / "train_extra/aug" /
                                  f"{base}_leftImg8bit.png")
         prob = np.full((H, W), 230, np.uint8)
@@ -123,8 +128,9 @@ def test_custom_coarse_dropout_classes(fake_tree):
     cfg = make_config({**over,
                        "dataset.custom_coarse_dropout_classes": (8,)})
     ds = Cityscapes(cfg.dataset, mode="train")
-    idx = next(i for i, rec in enumerate(ds.imgs) if "autolabelled" in rec[1])
-    label = ds[idx]["label"]
+    idx0 = next(i for i, rec in enumerate(ds.imgs)
+                if "autolabelled" in rec[1] and "aug_000000" in rec[1])
+    label = ds[idx0]["label"]
     # gtCoarse vegetation (right half) overrides pseudo car/road ... except
     # inside the low-confidence strip, which the threshold still drops
     assert (label[8:, W // 2:] == 8).all()
@@ -132,9 +138,16 @@ def test_custom_coarse_dropout_classes(fake_tree):
     # left half untouched: road 7->0
     assert (label[8:, : W // 2] == 0).all()
 
+    # image 1's pseudo mask contains NO vegetation pixel, so the merge
+    # must not fire (reference presence guard, base_loader.py:179)
+    idx1 = next(i for i, rec in enumerate(ds.imgs)
+                if "autolabelled" in rec[1] and "aug_000001" in rec[1])
+    label1 = ds[idx1]["label"]
+    assert set(np.unique(label1[8:, W // 2:]).tolist()) == {13}
+
     # without the knob the right half keeps the pseudo labels
     ds0 = Cityscapes(make_config(over).dataset, mode="train")
-    label0 = ds0[idx]["label"]
+    label0 = ds0[idx0]["label"]
     assert set(np.unique(label0[8:, W // 2:]).tolist()) == {13}
 
 

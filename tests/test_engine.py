@@ -1,5 +1,6 @@
 """End-to-end engine tests: Trainer.fit on fake data, eval runner,
 checkpoint round trip, dumper outputs. CPU, tiny model."""
+import dataclasses
 import json
 import os
 
@@ -88,9 +89,12 @@ def test_trainer_fit_end_to_end(fake_cityscapes, tmp_path):
     db = shard_batch(trainer2.mesh, {"image": batch["image"],
                                      "label": batch["label"]})
     step_fn = trainer2._get_train_step(False)
+    # read BEFORE the step: the jitted step donates its input state, so
+    # trainer2.state buffers are deleted once step_fn returns
+    step_before = int(trainer2.state.step)
     state, metrics = step_fn(trainer2.state, db, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
-    assert int(state.step) == int(trainer2.state.step) + 1
+    assert int(state.step) == step_before + 1
 
 
 def test_eval_runner_avgpool_and_flip(fake_cityscapes, tmp_path):
@@ -144,6 +148,86 @@ def test_forgiving_merge_shape_mismatch():
     merged = forgiving_merge(target, loaded, log=lambda *_: None)
     assert (merged["a"]["w"] == 1).all()   # shape match -> loaded
     assert (merged["b"]["w"] == 0).all()   # mismatch -> kept target
+
+
+def test_checkpoint_extra_meta_roundtrip(tmp_path):
+    """save(extra={numeric}) checkpoints must stay restorable: the restore
+    template is rebuilt from the checkpoint's own meta structure."""
+    import optax
+
+    from tpuseg.train.checkpoint import CheckpointManager
+
+    class FakeState:
+        params = {"w": np.ones((2, 2), np.float32)}
+        batch_stats = {"m": np.zeros((2,), np.float32)}
+        opt_state = optax.sgd(1e-3, momentum=0.9).init(
+            {"w": np.ones((2, 2), np.float32)})
+        step = 7
+
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(7, FakeState(), epoch=3, mean_iu=0.5, extra={"aux_wt": 0.4})
+    out = mgr.restore(target_state=FakeState())
+    assert out["meta"]["epoch"] == 3
+    assert abs(out["meta"]["aux_wt"] - 0.4) < 1e-9
+    # optax namedtuple containers reconstructed, not plain dicts
+    assert hasattr(out["opt_state"][0], "trace")
+
+
+def test_scale_hist_collective_count_is_data_independent(fake_cityscapes,
+                                                         tmp_path,
+                                                         monkeypatch):
+    """Multi-host safety: evaluate_only must issue the same number of
+    multihost_sum collectives whether a host's val shard is empty or not —
+    otherwise hosts deadlock mid-eval (per-scale hists used to be reduced
+    by iterating the data-dependent accumulated dict)."""
+    import tpuseg.train.loop as loop_mod
+
+    cfg = engine_cfg(fake_cityscapes, str(tmp_path))
+
+    calls = []
+    real = loop_mod.multihost_sum
+    monkeypatch.setattr(loop_mod, "multihost_sum",
+                        lambda x: calls.append(1) or real(x))
+
+    from tpuseg.train.loop import evaluate_only
+
+    evaluate_only(cfg, logdir=str(tmp_path / "l1"), eval_mode="val")
+    n_with_data = len(calls)
+
+    # empty val shard: same cfg, but the loader yields nothing
+    calls.clear()
+    import tpuseg.data.setup as setup_mod
+    real_setup = setup_mod.setup_data
+
+    def empty_val(cfg2, **kw):
+        train_loader, val_loader, train_set = real_setup(cfg2, **kw)
+
+        class Empty:
+            dataset = val_loader.dataset
+
+            def __iter__(self):
+                return iter(())
+
+            def __len__(self):
+                return 0
+
+        return train_loader, Empty(), train_set
+
+    monkeypatch.setattr(loop_mod, "setup_data", empty_val)
+    evaluate_only(cfg, logdir=str(tmp_path / "l2"), eval_mode="val")
+    assert len(calls) == n_with_data > 0
+
+
+def test_loader_knob_validation(fake_cityscapes, tmp_path):
+    """Unknown dataset.loader values must raise, not silently fall back
+    to the threaded loader."""
+    from tpuseg.data.setup import setup_data
+
+    cfg = engine_cfg(fake_cityscapes, str(tmp_path))
+    cfg = cfg.replace(dataset=dataclasses.replace(cfg.dataset,
+                                                  loader="grian"))
+    with pytest.raises(ValueError, match="loader"):
+        setup_data(cfg, seed=0)
 
 
 def test_boundary_fscore():

@@ -9,52 +9,19 @@ Times (relay-safe, see bench.py) jitted sub-graphs of the headline
   single20         - full single-scale pass at 2.0x (trunk+OCR+attn+upsample)
 
 Prints one JSON line per entry as it completes (restart-friendly).
-NOTE: rtt()/timeit()/scan_k mirror bench.py's calibrated relay-safe
-methodology — keep them in sync with bench.py if that changes.
+Timing methodology: tools/_timing.py (single source, shared with bench.py).
 """
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 
+from tools._timing import scan_k, timeit_scan as timeit  # noqa: E402
+
 H, W = 1024, 2048
-K = 4
-
-
-def rtt():
-    h = jax.jit(lambda x: x + 1.0)
-    float(h(jnp.float32(0)))
-    t0 = time.perf_counter()
-    for i in range(10):
-        float(h(jnp.float32(i)))
-    return (time.perf_counter() - t0) / 10
-
-
-def timeit(fn, *args, reps=2):
-    float(fn(*args))  # compile+warm
-    r = rtt()
-    times = []
-    for i in range(reps):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return (min(times) - r) / K
-
-
-def scan_k(apply_fn):
-    def run(v, x):
-        def body(carry, i):
-            xi = x * (1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
-            out = apply_fn(v, xi)
-            return carry + jnp.mean(out.astype(jnp.float32)), None
-        total, _ = jax.lax.scan(body, jnp.float32(0),
-                                jnp.arange(K, dtype=jnp.int32))
-        return total
-    return jax.jit(run)
 
 
 def main():

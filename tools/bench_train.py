@@ -14,15 +14,15 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from tools._timing import timeit_chain  # noqa: E402
+
 H, W = 1024, 2048
-K = 4
 
 
 def main():
@@ -69,24 +69,7 @@ def main():
     fwd = jax.jit(step, donate_argnums=(0,))
     rng = jax.random.PRNGKey(3)
     batch = {"image": image, "label": label}
-    state, metrics = fwd(state, batch, rng)  # compile + warm
-    float(metrics["loss"])
-
-    h = jax.jit(lambda x: x + 1.0)
-    float(h(jnp.float32(0)))
-    t0 = time.perf_counter()
-    for i in range(10):
-        float(h(jnp.float32(i)))
-    rtt = (time.perf_counter() - t0) / 10
-
-    times = []
-    for r in range(2):
-        t0 = time.perf_counter()
-        for _ in range(K):
-            state, metrics = fwd(state, batch, rng)
-        float(metrics["loss"])
-        times.append(time.perf_counter() - t0)
-    dt = (min(times) - rtt) / K
+    dt, state = timeit_chain(fwd, state, batch, rng)
 
     print(json.dumps({
         "metric": "train_step_imgs_per_sec_chip",

@@ -11,53 +11,19 @@ its time:
   resize_fwd     - same resize, forward only
 
 Prints one JSON line per entry as it completes.
+Timing methodology: tools/_timing.py (single source, shared with bench.py).
 """
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
 
+from tools._timing import K, timeit_chain, timeit_scan  # noqa: E402
+
 H, W = 1024, 2048
-K = 4
-
-
-def rtt():
-    h = jax.jit(lambda x: x + 1.0)
-    float(h(jnp.float32(0)))
-    t0 = time.perf_counter()
-    for i in range(10):
-        float(h(jnp.float32(i)))
-    return (time.perf_counter() - t0) / 10
-
-
-def timeit_chain(fn, state, batch, rng, reps=2):
-    """Time K chained donated calls (as tools/bench_train.py)."""
-    state, metrics = fn(state, batch, rng)
-    float(metrics["loss"])
-    r = rtt()
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(K):
-            state, metrics = fn(state, batch, rng)
-        float(metrics["loss"])
-        times.append(time.perf_counter() - t0)
-    return (min(times) - r) / K, state
-
-
-def timeit_scan(fn, *args, reps=2):
-    float(fn(*args))
-    r = rtt()
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return (min(times) - r) / K
 
 
 def emit(name, dt):

@@ -144,7 +144,10 @@ class Cityscapes(BaseDataset):
         gt_coarse = np.array(Image.open(gt_path))
         mask = mask.copy()
         for k, v in self.id_to_trainid.items():
-            if v in dropout:
+            # reference guard (base_loader.py:179): only merge gtCoarse
+            # for k when the pseudo-label mask already contains >=1 pixel
+            # of k — absent classes stay absent
+            if v in dropout and (mask == k).any():
                 mask[gt_coarse == k] = k
         return mask
 

@@ -101,6 +101,10 @@ def setup_data(cfg: Config, eval_mode: Optional[str] = None,
     (reference: datasets/__init__.py:140-147).
     """
     d = cfg.dataset
+    if d.loader not in ("threaded", "grain"):
+        raise ValueError(
+            f"dataset.loader must be 'threaded' or 'grain', got "
+            f"{d.loader!r}")
     cls = _dataset_cls(d.name)
     ignore_label = getattr(cls, "ignore_label", d.ignore_label)
 

@@ -129,6 +129,11 @@ class EvalRunner:
         self.ignore_label = ignore_label
         self.criterion = criterion
         self.pad_multiple = pad_multiple
+        # static per-scale-hist key set (mirrors make_eval_forward's
+        # `per_scale` gating) so multi-host reductions can run a fixed,
+        # data-independent number of collectives even on hosts whose val
+        # shard is empty
+        self.scale_hist_scales = tuple(scales) if len(scales) > 1 else ()
         self.forward = make_eval_forward(model, num_classes, scales, do_flip,
                                          align_corners, is_mscale)
 

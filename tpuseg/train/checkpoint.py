@@ -75,6 +75,9 @@ class CheckpointManager:
 
     def save(self, step: int, state, epoch: int, mean_iu: float,
              extra: Optional[dict] = None):
+        """Save a checkpoint. ``extra`` may add NUMERIC scalar metadata
+        (orbax StandardSave rejects strings); restore() rebuilds its meta
+        template from the saved structure, so extra keys round-trip."""
         payload = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -110,11 +113,24 @@ class CheckpointManager:
                 return jax.ShapeDtypeStruct(x.shape, x.dtype)
             return x
 
+        # build the meta template from the checkpoint's own structure so
+        # payloads saved with extra numeric keys (save(..., extra=...))
+        # stay restorable — a fixed key set here would make orbax reject
+        # them with a tree-structure mismatch
+        meta_template: dict = {"epoch": 0, "step": 0, "mean_iu": 0.0}
+        try:
+            saved_meta = self.manager.item_metadata(step).tree["meta"]
+            meta_template = {
+                k: (0 if "int" in str(v.dtype) else 0.0)
+                for k, v in saved_meta.items()}
+        except Exception:
+            pass  # older orbax / layouts: fall back to the default keys
+
         payload = {
             "params": target_state.params,
             "batch_stats": target_state.batch_stats,
             "opt_state": target_state.opt_state,
-            "meta": {"epoch": 0, "step": 0, "mean_iu": 0.0},
+            "meta": meta_template,
         }
         abstract_payload = jax.tree.map(abstract, payload)
         return self.manager.restore(

@@ -37,6 +37,21 @@ from tpuseg.train.step import make_train_step
 from tpuseg.utils.logging import Logger
 
 
+def _reduce_scale_hists(scale_hists: dict, runner, num_classes: int) -> dict:
+    """Multi-host sum of the per-scale confusion matrices over the
+    runner's STATIC scale set, in sorted order.
+
+    Iterating the accumulated dict instead would make the number of
+    collectives data-dependent: a host whose val shard is empty (the val
+    sampler doesn't pad, datasets/sampler.py semantics) would issue fewer
+    `multihost_sum` calls than its peers and deadlock the job.
+    """
+    zeros = np.zeros((num_classes, num_classes), np.float64)
+    return {s: multihost_sum(np.asarray(scale_hists.get(s, zeros),
+                                        np.float64))
+            for s in sorted(runner.scale_hist_scales)}
+
+
 class Trainer:
     def __init__(self, cfg: Config, logdir: str = "logs",
                  is_primary: bool = True):
@@ -279,8 +294,8 @@ class Trainer:
             return None
 
         total_hist = multihost_sum(total_hist)
-        scale_hists = {s: multihost_sum(np.asarray(h, np.float64))
-                       for s, h in scale_hists.items()}
+        scale_hists = _reduce_scale_hists(scale_hists, runner,
+                                          cfg.dataset.num_classes)
         metrics = eval_metrics_from_hist(total_hist)
         class_names = list(getattr(self.val_loader.dataset,
                                    "trainid_to_name", {}).values()) or None
@@ -418,8 +433,8 @@ def evaluate_only(cfg: Config, logdir: str = "logs",
     dumper.write_webpage()
     if calc_metrics:
         total_hist = multihost_sum(total_hist)
-        scale_hists = {s: multihost_sum(np.asarray(h, np.float64))
-                       for s, h in scale_hists.items()}
+        scale_hists = _reduce_scale_hists(scale_hists, runner,
+                                          cfg.dataset.num_classes)
         metrics = eval_metrics_from_hist(total_hist)
         class_names = list(getattr(val_loader.dataset, "trainid_to_name",
                                    {}).values()) or None
