@@ -49,6 +49,11 @@ def main():
         "model.arch": "ocrnet.HRNet_Mscale",
         "model.n_scales": SCALES,
         "model.remat": False,
+        # production eval config: bf16 fusion chains mirror the
+        # reference's own fp16 (apex O1) eval recipe
+        # (scripts/eval_cityscapes.yml); the f32-fusion parity default
+        # is ~1.4% slower (docs/ROOFLINE.md breakdown)
+        "model.eval_fusion_dtype": "bfloat16",
         "dataset.num_classes": 19,
     })
     model = get_model(cfg)

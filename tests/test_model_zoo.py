@@ -50,6 +50,37 @@ def test_mscale_v3plus_train_two_scale():
     assert "attn_05x" in out and "pred_05x" in out
 
 
+def test_mscale_aspp_and_hrnet_factories():
+    """mscale.HRNet / mscale.HRNet_ASP coverage (reference:
+    mscale.py:474-515) via the underlying classes on the tiny trunk, plus
+    the segattn_bot_ch / mscale_dropout plumbing shared by every mscale
+    factory (reference make_attn_head reads both globally,
+    network/utils.py:343-367)."""
+    from tpuseg.models.mscale import MscaleASPP, MscaleBasic
+
+    out = run_model(MscaleBasic(num_classes=NC, trunk="hrnetv2_tiny",
+                                n_scales=(0.5, 1.0), dtype=jnp.float32))
+    assert out["pred"].shape == (1, 32, 32, NC)
+
+    model = MscaleASPP(num_classes=NC, trunk="hrnetv2_tiny",
+                       aspp_bot_ch=16, bot_ch=24, attn_dropout=True,
+                       n_scales=(0.5, 1.0), dtype=jnp.float32)
+    out = run_model(model, train=True)  # train=True exercises the dropout
+    assert out["pred"].shape == (1, 32, 32, NC)
+    # the knob must actually reach the heads
+    vars_ = model.init(jax.random.PRNGKey(0), jnp.zeros(X), train=False)
+    k = vars_["params"]["scale_attn"]["conv0"]["conv"]["kernel"]
+    assert k.shape[-1] == 24
+    kf = vars_["params"]["final"]["conv0"]["conv"]["kernel"]
+    assert kf.shape[-1] == 24
+
+    # the factory strings resolve and read the cfg knobs
+    for arch in ("mscale.HRNet", "mscale.HRNet_ASP"):
+        m = get_model(cfg_for(arch, **{"model.segattn_bot_ch": 24,
+                                       "model.mscale_dropout": True}))
+        assert m.bot_ch == 24 and m.attn_dropout is True
+
+
 def test_mscale_fuse_aspp_variant():
     from tpuseg.models.mscale import MscaleV3Plus
     model = MscaleV3Plus(num_classes=NC, trunk="wrn38_tiny", fuse_aspp=True,

@@ -20,6 +20,7 @@ class Basic(nn.Module):
     num_classes: int
     trunk: str = "hrnetv2"
     align_corners: bool = False
+    seg_bot_ch: int = 256  # reference make_seg_head reads SEGATTN_BOT_CH
     remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
@@ -27,8 +28,8 @@ class Basic(nn.Module):
         self.backbone, _, _, _ = get_trunk(
             self.trunk, remat=self.remat, dtype=self.dtype,
             align_corners=self.align_corners)
-        self.seg_head = SegHead(self.num_classes, 256, dtype=self.dtype,
-                                name="seg_head")
+        self.seg_head = SegHead(self.num_classes, self.seg_bot_ch,
+                                dtype=self.dtype, name="seg_head")
 
     def __call__(self, x, train: bool = False):
         _, _, high = self.backbone(x, train)
@@ -44,6 +45,7 @@ class ASPPModel(nn.Module):
     trunk: str = "hrnetv2"
     aspp_bot_ch: int = 256
     align_corners: bool = False
+    seg_bot_ch: int = 256  # reference make_seg_head reads SEGATTN_BOT_CH
     remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
@@ -54,8 +56,8 @@ class ASPPModel(nn.Module):
         self.aspp, _ = make_aspp(self.aspp_bot_ch, 8, False,
                                  self.align_corners, self.dtype, name="aspp")
         self.bot_aspp = conv(256, 1, dtype=self.dtype, name="bot_aspp")
-        self.final = SegHead(self.num_classes, 256, dtype=self.dtype,
-                             name="final")
+        self.final = SegHead(self.num_classes, self.seg_bot_ch,
+                             dtype=self.dtype, name="final")
 
     def __call__(self, x, train: bool = False):
         _, _, high = self.backbone(x, train)
@@ -69,6 +71,7 @@ class ASPPModel(nn.Module):
 def _kw(cfg):
     return dict(num_classes=cfg.dataset.num_classes,
                 align_corners=cfg.model.align_corners,
+                seg_bot_ch=cfg.model.segattn_bot_ch,
                 remat=cfg.model.remat,
                 dtype=jnp.dtype(cfg.model.compute_dtype))
 

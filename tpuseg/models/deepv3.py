@@ -62,6 +62,7 @@ class DeepV3(nn.Module):
     use_dpc: bool = False
     output_stride: int = 8
     align_corners: bool = False
+    seg_bot_ch: int = 256  # reference make_seg_head reads SEGATTN_BOT_CH
     remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
@@ -73,8 +74,8 @@ class DeepV3(nn.Module):
                                  dpc=self.use_dpc,
                                  align_corners=self.align_corners,
                                  dtype=self.dtype, name="aspp")
-        self.final = SegHead(self.num_classes, 256, dtype=self.dtype,
-                             name="final")
+        self.final = SegHead(self.num_classes, self.seg_bot_ch,
+                             dtype=self.dtype, name="final")
 
     def __call__(self, x, train: bool = False):
         _, _, high = self.backbone(x, train)
@@ -123,7 +124,8 @@ def DeepWV3Plus(cfg):
 
 
 def DeepV3R50(cfg):
-    return DeepV3(trunk="resnet-50", **_kw(cfg))
+    return DeepV3(trunk="resnet-50",
+                  seg_bot_ch=cfg.model.segattn_bot_ch, **_kw(cfg))
 
 
 def DeepV3PlusW38Tiny(cfg):

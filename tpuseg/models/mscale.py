@@ -35,25 +35,16 @@ def _mscale_call(model, x, train):
 
 def _two_scale(model, x_1x, train):
     """two_scale_forward with optional aspp feature fusion
-    (reference: mscale.py:182-220)."""
-    x_lo = resize_x(x_1x, model.lo_scale, model.align_corners)
-    lo = model._fwd(x_lo, train=train)
-    hi = model._fwd(x_1x, aspp_lo=lo["aspp"] if model.fuse_aspp else None,
-                    aspp_attn=lo["aspp_attn"] if model.fuse_aspp else None,
-                    train=train)
-
-    pred_05x = lo["cls_out"].astype(jnp.float32)
-    attn = lo["logit_attn"].astype(jnp.float32)
-    p_1x = hi["cls_out"].astype(jnp.float32)
-
-    p_lo = scale_as(attn * pred_05x, p_1x, model.align_corners)
-    attn_up = scale_as(attn, p_1x, model.align_corners)
-    return {
-        "pred": p_lo + (1.0 - attn_up) * p_1x,
-        "pred_05x": pred_05x,
-        "pred_10x": p_1x,
-        "attn_05x": attn,
-    }
+    (reference: mscale.py:182-220). The fusion arithmetic is
+    mscale_core.two_scale_fuse; fuse_aspp only changes how the
+    high-scale pass consumes the low-scale output."""
+    fwd = lambda xi: model._fwd(xi, train=train)
+    fwd_hi = None
+    if model.fuse_aspp:
+        fwd_hi = lambda xi, lo: model._fwd(
+            xi, aspp_lo=lo["aspp"], aspp_attn=lo["aspp_attn"], train=train)
+    return two_scale_fuse(fwd, x_1x, model.lo_scale, model.align_corners,
+                          fwd_hi=fwd_hi)
 
 
 def _nscale_fused(model, x_1x, scales, train):
@@ -96,6 +87,7 @@ class MscaleV3Plus(nn.Module):
     bot_ch: int = 256
     attn_inner_3x3: bool = True
     attn_old_arch: bool = False
+    attn_dropout: bool = False
     remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
@@ -117,6 +109,7 @@ class MscaleV3Plus(nn.Module):
                                    bot_ch=self.bot_ch,
                                    inner_3x3=self.attn_inner_3x3,
                                    old_arch=self.attn_old_arch,
+                                   dropout=self.attn_dropout,
                                    dtype=self.dtype, name="scale_attn")
 
     def _fwd(self, x, aspp_lo=None, aspp_attn=None, train=False):
@@ -165,8 +158,10 @@ class MscaleDeeper(nn.Module):
     n_scales: Sequence[float] = ()
     lo_scale: float = 0.5
     align_corners: bool = False
+    bot_ch: int = 256
     attn_inner_3x3: bool = True
     attn_old_arch: bool = False
+    attn_dropout: bool = False
     remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
@@ -186,8 +181,10 @@ class MscaleDeeper(nn.Module):
         self.conv_up5 = conv(self.num_classes, 1, dtype=self.dtype,
                              name="conv_up5")
         self.scale_attn = AttnHead(out_ch=2 if self.attn_2b else 1,
+                                   bot_ch=self.bot_ch,
                                    inner_3x3=self.attn_inner_3x3,
                                    old_arch=self.attn_old_arch,
+                                   dropout=self.attn_dropout,
                                    dtype=self.dtype, name="scale_attn")
 
     def _fwd(self, x, aspp_lo=None, aspp_attn=None, train=False):
@@ -235,8 +232,10 @@ class MscaleBasic(nn.Module):
     n_scales: Sequence[float] = ()
     lo_scale: float = 0.5
     align_corners: bool = False
+    bot_ch: int = 256
     attn_inner_3x3: bool = True
     attn_old_arch: bool = False
+    attn_dropout: bool = False
     fuse_aspp: bool = False
     remat: bool = False
     dtype: Dtype = jnp.bfloat16
@@ -245,11 +244,12 @@ class MscaleBasic(nn.Module):
         self.backbone, _, _, high_ch = get_trunk(
             self.trunk, remat=self.remat, dtype=self.dtype,
             align_corners=self.align_corners)
-        self.cls_head = SegHead(self.num_classes, dtype=self.dtype,
-                                name="cls_head")
-        self.scale_attn = AttnHead(out_ch=1,
+        self.cls_head = SegHead(self.num_classes, self.bot_ch,
+                                dtype=self.dtype, name="cls_head")
+        self.scale_attn = AttnHead(out_ch=1, bot_ch=self.bot_ch,
                                    inner_3x3=self.attn_inner_3x3,
                                    old_arch=self.attn_old_arch,
+                                   dropout=self.attn_dropout,
                                    dtype=self.dtype, name="scale_attn")
 
     def _fwd(self, x, aspp_lo=None, aspp_attn=None, train=False):
@@ -265,13 +265,65 @@ class MscaleBasic(nn.Module):
         return _mscale_call(self, x, train)
 
 
+class MscaleASPP(nn.Module):
+    """trunk -> ASPP -> bot 1x1 -> seg head + attn head, mscale
+    (reference ASPP(MscaleBase): mscale.py:479-511)."""
+
+    num_classes: int
+    trunk: str = "hrnetv2"
+    aspp_bot_ch: int = 256
+    n_scales: Sequence[float] = ()
+    lo_scale: float = 0.5
+    align_corners: bool = False
+    bot_ch: int = 256
+    attn_inner_3x3: bool = True
+    attn_old_arch: bool = False
+    attn_dropout: bool = False
+    fuse_aspp: bool = False
+    remat: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    def setup(self):
+        self.backbone, _, _, high_ch = get_trunk(
+            self.trunk, remat=self.remat, dtype=self.dtype,
+            align_corners=self.align_corners)
+        self.aspp, _ = make_aspp(self.aspp_bot_ch, 8, False,
+                                 self.align_corners, self.dtype,
+                                 name="aspp")
+        self.bot_aspp = conv(256, 1, dtype=self.dtype, name="bot_aspp")
+        self.final = SegHead(self.num_classes, self.bot_ch,
+                             dtype=self.dtype, name="final")
+        self.scale_attn = AttnHead(out_ch=1, bot_ch=self.bot_ch,
+                                   inner_3x3=self.attn_inner_3x3,
+                                   old_arch=self.attn_old_arch,
+                                   dropout=self.attn_dropout,
+                                   dtype=self.dtype, name="scale_attn")
+
+    def _fwd(self, x, aspp_lo=None, aspp_attn=None, train=False):
+        """(reference: mscale.py:496-511)"""
+        _, _, high = self.backbone(x, train)
+        aspp = self.aspp(high, train)
+        aspp = self.bot_aspp(aspp)
+        pred = self.final(aspp, train)
+        attn = self.scale_attn(aspp, train)
+        pred = scale_as(pred.astype(jnp.float32), x, self.align_corners)
+        attn = scale_as(attn, x, self.align_corners)
+        return {"cls_out": pred, "logit_attn": attn, "aspp_attn": attn,
+                "aspp": aspp}
+
+    def __call__(self, x, train: bool = False):
+        return _mscale_call(self, x, train)
+
+
 def _common(cfg):
     return dict(num_classes=cfg.dataset.num_classes,
                 n_scales=tuple(cfg.model.n_scales or ()),
                 lo_scale=cfg.model.mscale_lo_scale,
                 align_corners=cfg.model.align_corners,
+                bot_ch=cfg.model.segattn_bot_ch,
                 attn_inner_3x3=cfg.model.mscale_inner_3x3,
                 attn_old_arch=cfg.model.mscale_old_arch,
+                attn_dropout=cfg.model.mscale_dropout,
                 remat=cfg.model.remat,
                 dtype=jnp.dtype(cfg.model.compute_dtype))
 
@@ -282,18 +334,16 @@ def DeepV3R50(cfg):
 
 
 def DeepV3W38(cfg):
-    return MscaleV3Plus(trunk="wrn38", bot_ch=cfg.model.segattn_bot_ch,
-                        **_common(cfg))
+    return MscaleV3Plus(trunk="wrn38", **_common(cfg))
 
 
 def DeepV3W38Fuse(cfg):
-    return MscaleV3Plus(trunk="wrn38", fuse_aspp=True,
-                        bot_ch=cfg.model.segattn_bot_ch, **_common(cfg))
+    return MscaleV3Plus(trunk="wrn38", fuse_aspp=True, **_common(cfg))
 
 
 def DeepV3W38Fuse2(cfg):
     return MscaleV3Plus(trunk="wrn38", fuse_aspp=True, attn_2b=True,
-                        bot_ch=cfg.model.segattn_bot_ch, **_common(cfg))
+                        **_common(cfg))
 
 
 def DeepV3X71(cfg):
@@ -312,5 +362,17 @@ def Basic(cfg):
     return MscaleBasic(trunk="hrnetv2", **_common(cfg))
 
 
+def HRNet(cfg):
+    """(reference: mscale.py:474-476)"""
+    return MscaleBasic(trunk="hrnetv2", **_common(cfg))
+
+
+def HRNet_ASP(cfg):
+    """(reference: mscale.py:514-515)"""
+    return MscaleASPP(trunk="hrnetv2", aspp_bot_ch=cfg.model.aspp_bot_ch,
+                      **_common(cfg))
+
+
 def DeepV3W38Tiny(cfg):
-    return MscaleV3Plus(trunk="wrn38_tiny", bot_ch=16, **_common(cfg))
+    return MscaleV3Plus(trunk="wrn38_tiny", **{**_common(cfg),
+                                               "bot_ch": 16})

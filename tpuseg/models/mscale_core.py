@@ -31,16 +31,22 @@ ForwardFn = Callable[[jnp.ndarray], Dict[str, jnp.ndarray]]
 
 
 def two_scale_fuse(fwd: ForwardFn, x_1x: jnp.ndarray, lo_scale: float = 0.5,
-                   align_corners: bool = False) -> Dict[str, jnp.ndarray]:
+                   align_corners: bool = False,
+                   fwd_hi=None) -> Dict[str, jnp.ndarray]:
     """Training-time fused two-scale forward (reference: ocrnet.py:264-327).
 
     Returns a dict with the attention-fused 'pred'/'aux' plus the raw
     per-scale outputs needed for supervised-mscale loss terms and eval
     asset dumps.
+
+    ``fwd_hi(x, lo_out)``, when given, computes the high-scale pass with
+    access to the low-scale output (the mscale.py fuse_aspp variant,
+    reference: mscale.py:182-220); otherwise ``fwd`` is used at both
+    scales.
     """
     x_lo = resize_x(x_1x, lo_scale, align_corners)
     lo = fwd(x_lo)
-    hi = fwd(x_1x)
+    hi = fwd_hi(x_1x, lo) if fwd_hi is not None else fwd(x_1x)
 
     pred_05x = lo["cls_out"].astype(jnp.float32)
     attn = lo["logit_attn"].astype(jnp.float32)

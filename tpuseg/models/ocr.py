@@ -117,7 +117,8 @@ class SpatialOCR(nn.Module):
         y = jnp.concatenate([context, feats], axis=-1)
         y = ConvNormAct(self.out_channels, 1, dtype=self.dtype,
                         name="conv_bn")(y, train)
-        return nn.Dropout(self.dropout, deterministic=not train)(y)
+        return nn.Dropout(self.dropout, broadcast_dims=(1, 2),
+                          deterministic=not train)(y)
 
 
 class OCRBlock(nn.Module):

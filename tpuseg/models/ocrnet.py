@@ -46,9 +46,14 @@ class OCRNet(nn.Module):
     def __call__(self, x, train: bool = False):
         _, _, high = self.backbone(x, train)
         cls_out, aux_out, _ = self.ocr(high, train)
+        # cast BEFORE the resize: the f32 island must include the bilinear
+        # interpolation (reference fp32 Upsample, mynn.py:42-51), else the
+        # full-res logits are quantized to bf16 on the way out
         return {
-            "pred": scale_as(cls_out, x, self.align_corners).astype(jnp.float32),
-            "aux": scale_as(aux_out, x, self.align_corners).astype(jnp.float32),
+            "pred": scale_as(cls_out.astype(jnp.float32), x,
+                             self.align_corners),
+            "aux": scale_as(aux_out.astype(jnp.float32), x,
+                            self.align_corners),
         }
 
 

@@ -47,7 +47,8 @@ class IdentityResidualBlock(nn.Module):
                      name="conv1")(bn1)
             y = nn.relu(Norm(dtype=self.dtype, name="bn2")(y, train))
             if self.dropout:
-                y = nn.Dropout(self.dropout, deterministic=not train)(y)
+                y = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
+                               deterministic=not train)(y)
             y = conv(self.channels[1], 3, dilation=self.dilation,
                      dtype=self.dtype, name="conv2")(y)
         else:
@@ -58,7 +59,8 @@ class IdentityResidualBlock(nn.Module):
                      dtype=self.dtype, name="conv2")(y)
             y = nn.relu(Norm(dtype=self.dtype, name="bn3")(y, train))
             if self.dropout:
-                y = nn.Dropout(self.dropout, deterministic=not train)(y)
+                y = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
+                               deterministic=not train)(y)
             y = conv(self.channels[2], 1, dtype=self.dtype, name="conv3")(y)
         return y + shortcut
 

@@ -104,7 +104,10 @@ class XceptionBlock(nn.Module):
             idx += 1
         elif self.is_last:
             x = maybe_relu(x)
-            x = SeparableConv(self.planes, 1, self.dilation, self.dtype,
+            # the reference hard-codes dilation=1 for the is_last conv
+            # (xception.py:87: SeparableConv2d(planes, planes, 3, 1)),
+            # even when the block itself is dilated at output stride 8
+            x = SeparableConv(self.planes, 1, 1, self.dtype,
                               name=f"sep{idx}")(x, train)
             x = Norm(dtype=self.dtype, name=f"sepbn{idx}")(x, train)
             idx += 1

@@ -176,7 +176,6 @@ def avg_pool2d(x: jnp.ndarray, window: int, stride: int | None = None,
     """count_include_pad average pool over NHWC, matching torch
     ``F.avg_pool2d`` defaults (used by the RMI loss downsample,
     reference: loss/rmi.py:154-155)."""
-    import jax
 
     stride = stride or window
     y = jax.lax.reduce_window(
@@ -199,12 +198,10 @@ def max_pool2d(x: jnp.ndarray, window: int, stride: int | None = None,
     SENet stem — reference SEresnext.py:269-272); window alignment stays at
     offset 0, unlike symmetric padding.
     """
-    import jax
 
     stride = stride or window
 
     def pad_end(size: int) -> int:
-        import math
 
         out = math.ceil((size + 2 * padding - window) / stride) + 1
         # torch drops a ceil-mode window that would START in the right
