@@ -191,6 +191,47 @@ def test_relaxed_onehot_reduce_border():
     assert b[2, 3] and b[2, 4] and not b[2, 0]
 
 
+def test_relaxed_label_transform_carries_config_knobs():
+    """setup.relaxed_label_transform threads border_window /
+    strict_border_classes / reduce_border from config into relaxed_onehot
+    (regression: the partial used to pass only num_classes/ignore_label,
+    leaving the knobs dead)."""
+    from tpuseg.config import make_config
+    from tpuseg.data.setup import relaxed_label_transform
+
+    labels = np.zeros((10, 10), np.int64)
+    labels[:, 5:] = 1
+
+    cfg = make_config({"dataset.num_classes": 3, "loss.border_window": 2})
+    oh = relaxed_label_transform(cfg, ignore_label=255)(labels)
+    # window 2: column 3 is within 2px of the boundary -> both classes
+    assert oh[5, 3].tolist()[:2] == [1, 1]
+    cfg1 = make_config({"dataset.num_classes": 3, "loss.border_window": 1})
+    oh1 = relaxed_label_transform(cfg1, ignore_label=255)(labels)
+    assert oh1[5, 3].tolist()[:2] == [1, 0]
+
+    # strict classes pin hard labels at their pixels
+    cfg_s = make_config({"dataset.num_classes": 3, "loss.border_window": 1,
+                         "loss.strict_border_classes": (1,)})
+    ohs = relaxed_label_transform(cfg_s, ignore_label=255)(labels)
+    assert ohs[5, 5].tolist()[:2] == [0, 1]
+
+    # reduce_border variant (what the Trainer swaps in after
+    # REDUCE_BORDER_EPOCH): halved window + 2x boundary weights
+    ohr = relaxed_label_transform(cfg1, 255, reduce_border=True)(labels)
+    assert ohr[5, 4].tolist()[:2] == [2, 0]
+
+
+def test_setup_data_rejects_indivisible_batch(tmp_path):
+    from tpuseg.config import make_config
+    from tpuseg.data.setup import setup_data
+
+    cfg = make_config({"dataset.name": "cityscapes",
+                       "train.batch_size": 8})
+    with pytest.raises(ValueError, match="divisible"):
+        setup_data(cfg, num_shards=3, shard=0, seed=0)
+
+
 def test_sharded_sampler():
     shards = [list(ShardedEpochSampler(10, num_shards=4, shard=s, seed=1))
               for s in range(4)]

@@ -230,6 +230,35 @@ def test_loader_knob_validation(fake_cityscapes, tmp_path):
         setup_data(cfg, seed=0)
 
 
+def test_reduce_border_label_swap():
+    """After REDUCE_BORDER_EPOCH the Trainer swaps the train set's label
+    transform to the reduce_border variant (halved window, 2x boundary
+    weights — reference transforms/transforms.py:103-123). Regression:
+    the label side of the flip used to never happen."""
+    from types import SimpleNamespace
+
+    from tpuseg.train.loop import Trainer
+
+    cfg = make_config({"dataset.jointwtborder": True,
+                       "dataset.num_classes": 3,
+                       "loss.loss_type": "relaxed",
+                       "loss.border_window": 2,
+                       "loss.reduce_border_epoch": 0})
+    ds = SimpleNamespace(label_transform=None, ignore_label=255)
+    stub = SimpleNamespace(cfg=cfg, train_set=ds)
+
+    Trainer._maybe_reduce_border_labels(stub, invert=False)
+    assert ds.label_transform is None  # before the threshold: unchanged
+
+    Trainer._maybe_reduce_border_labels(stub, invert=True)
+    labels = np.zeros((8, 8), np.int64)
+    labels[:, 4:] = 1
+    oh = ds.label_transform(labels)
+    # window halved 2 -> 1 and boundary pixels weighted 2x
+    assert oh[4, 3].tolist()[:2] == [2, 2]
+    assert oh[4, 0].tolist()[:2] == [1, 0]
+
+
 def test_boundary_fscore():
     from tpuseg.evaluation.f_boundary import db_eval_boundary
 
@@ -242,6 +271,36 @@ def test_boundary_fscore():
     far = np.zeros_like(gt)
     far[28:, 28:] = True
     assert db_eval_boundary(far, gt) < 0.3
+
+
+def test_seg2bmap_matches_reference():
+    """_seg2bmap == a literal transcription of the reference seg2bmap
+    (utils/f_boundary.py:176-233): boundaries marked on BOTH sides of the
+    edge (regression: an `& seg` mask used to drop the left/top marks)."""
+    from tpuseg.evaluation.f_boundary import _seg2bmap
+
+    def ref_seg2bmap(seg):
+        seg = seg.astype(bool).copy()
+        e = np.zeros_like(seg)
+        s = np.zeros_like(seg)
+        se = np.zeros_like(seg)
+        e[:, :-1] = seg[:, 1:]
+        s[:-1, :] = seg[1:, :]
+        se[:-1, :-1] = seg[1:, 1:]
+        b = seg ^ e | seg ^ s | seg ^ se
+        b[-1, :] = seg[-1, :] ^ e[-1, :]
+        b[:, -1] = seg[:, -1] ^ s[:, -1]
+        b[-1, -1] = 0
+        return b
+
+    rng = np.random.default_rng(0)
+    for _ in range(25):
+        h, w = rng.integers(2, 40, 2)
+        seg = rng.random((h, w)) < 0.4
+        np.testing.assert_array_equal(_seg2bmap(seg), ref_seg2bmap(seg))
+    # the left edge of [0,1,1,0] is marked on the background side
+    row = np.array([[0, 1, 1, 0], [0, 1, 1, 0]])
+    np.testing.assert_array_equal(_seg2bmap(row)[0], [1, 0, 1, 0])
 
 
 def test_cli_config_parsing(tmp_path):

@@ -44,6 +44,43 @@ def test_export_load_roundtrip(tiny_model, tmp_path):
         serve(np.zeros((1, 64, 64, 3), np.float32))
 
 
+def test_export_multi_entry_bundle(tiny_model, tmp_path):
+    """Several sizes accumulate into one bundle; re-export replaces an
+    entry instead of clobbering the artifact; serve() dispatches on the
+    input shape."""
+    from tpuseg.serving import export_model, load_exported
+
+    model, variables = tiny_model
+    path = str(tmp_path / "bundle")
+    manifest = export_model(model, variables, [(32, 32), (32, 64)], path,
+                            input_dtype="float32")
+    assert len(manifest["entries"]) == 2
+
+    # second export call on the same path appends a third entry
+    export_model(model, variables, (64, 64), path, input_dtype="float32")
+    # ... and re-exporting an existing size replaces, not duplicates
+    export_model(model, variables, (32, 32), path, input_dtype="float32")
+
+    serve = load_exported(path)
+    assert len(serve.manifest["entries"]) == 3
+    for hw in [(32, 32), (32, 64), (64, 64)]:
+        pred = serve(np.zeros((1, *hw, 3), np.float32))
+        assert pred.shape == (1, *hw, 19)
+    with pytest.raises(ValueError, match="no entry"):
+        serve(np.zeros((1, 16, 16, 3), np.float32))
+
+    # a foreign artifact is refused, never clobbered
+    import json
+    import os
+    foreign = str(tmp_path / "foreign")
+    os.makedirs(foreign)
+    with open(os.path.join(foreign, "manifest.json"), "w") as f:
+        json.dump({"format": "something-else"}, f)
+    with pytest.raises(ValueError, match="refusing"):
+        export_model(model, variables, (32, 32), foreign,
+                     input_dtype="float32")
+
+
 def test_export_cli(tmp_path):
     from tpuseg.cli.main import main
 

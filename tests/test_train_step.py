@@ -169,6 +169,31 @@ def test_scl_poly_schedule_matches_reference_lambda():
         make_schedule(make_config({"optim.lr_schedule": "scl-poly"}), 5)
 
 
+def test_schedules_jittable_with_traced_step():
+    """poly2/scl-poly run under jit where the step is a tracer — the
+    optax wrapper calls the schedule on the traced opt-state count, so a
+    Python `if` on the epoch would raise TracerBoolConversionError at the
+    first train step (regression)."""
+    from tpuseg.train.optim import make_schedule
+
+    poly2 = make_schedule(make_config({
+        "optim.lr": 0.01, "optim.lr_schedule": "poly2",
+        "optim.poly_exp": 2.0, "optim.poly_step": 10,
+        "train.max_epoch": 20}), steps_per_epoch=5)
+    scl = make_schedule(make_config({
+        "optim.lr": 0.01, "optim.lr_schedule": "scl-poly",
+        "optim.poly_exp": 2.0, "optim.rescale_lr": 0.3,
+        "optim.repoly": 1.5, "train.max_epoch": 20,
+        "loss.reduce_border_epoch": 10}), steps_per_epoch=5)
+    for sched in (poly2, scl):
+        jitted = jax.jit(sched)
+        for epoch in [0, 9, 10, 19]:
+            got = float(jitted(jnp.asarray(epoch * 5)))
+            want = float(sched(epoch * 5))
+            assert abs(got - want) < 1e-9, (epoch, got, want)
+            assert np.isfinite(got)
+
+
 def test_selective_remat_stages_grad():
     """model.remat_stages remats only the listed HRNet stages; gradients
     flow and match the full-remat configuration (same function, different

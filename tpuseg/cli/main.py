@@ -97,20 +97,13 @@ def main(argv=None):
               f"bytes accessed: {info['bytes_accessed'] / 1e9:.2f}GB")
     elif args.command == "export":
         # serialize the eval forward (weights baked in) for serving
-        import dataclasses
-
         import jax.numpy as jnp
 
-        from tpuseg.config import infer_mscale
+        from tpuseg.config import eval_model_config
         from tpuseg.models import get_model
         from tpuseg.serving import export_model
 
-        # same n_scales promotion as evaluate_only: the exported graph must
-        # be the one `tpuseg eval` runs (hierarchical nscale fusion), not
-        # the two-scale training-style fallback
-        if infer_mscale(cfg) and not cfg.model.n_scales:
-            cfg = cfg.replace(model=dataclasses.replace(
-                cfg.model, n_scales=tuple(cfg.eval.scales)))
+        cfg = eval_model_config(cfg)
         model = get_model(cfg)
         example = jnp.zeros((1, 64, 64, 3),
                             jnp.dtype(cfg.model.compute_dtype))

@@ -295,3 +295,16 @@ def infer_mscale(cfg: Config) -> bool:
     (reference: config.py:269-270)."""
     arch = cfg.model.arch.lower()
     return "mscale" in arch or "attnscale" in arch
+
+
+def eval_model_config(cfg: Config) -> Config:
+    """Config for building the EVAL model: mscale archs with no explicit
+    ``model.n_scales`` run n-scale fusion over ``eval.scales`` (reference
+    promotes via ``--n_scales`` sharing INFERENCE_SCALES semantics,
+    train.py:243-247 / config.py:126). Used by the Trainer, evaluate_only,
+    and the serving exporter — the exported graph must be the same one
+    eval runs."""
+    if infer_mscale(cfg) and not cfg.model.n_scales:
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, n_scales=tuple(cfg.eval.scales)))
+    return cfg

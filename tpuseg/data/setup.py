@@ -92,6 +92,23 @@ def build_val_joint_transform(cfg: Config, ignore_label: int):
     return None
 
 
+def relaxed_label_transform(cfg: Config, ignore_label: int,
+                            reduce_border: bool = False):
+    """Label transform for --jointwtborder training, carrying the
+    BORDER_WINDOW / STRICTBORDERCLASS knobs. After REDUCE_BORDER_EPOCH the
+    Trainer swaps in the ``reduce_border=True`` variant (the reference
+    reads the global cfg.EPOCH at call time instead,
+    transforms/transforms.py:95-123)."""
+    lc = cfg.loss
+    strict = tuple(lc.strict_border_classes or ()) or None
+    return partial(relaxed_onehot,
+                   num_classes=cfg.dataset.num_classes,
+                   ignore_label=ignore_label,
+                   border=lc.border_window,
+                   strict_classes=strict,
+                   reduce_border=reduce_border)
+
+
 def setup_data(cfg: Config, eval_mode: Optional[str] = None,
                num_shards: int = 1, shard: int = 0, seed: int = 0,
                is_primary: bool = True):
@@ -105,6 +122,12 @@ def setup_data(cfg: Config, eval_mode: Optional[str] = None,
         raise ValueError(
             f"dataset.loader must be 'threaded' or 'grain', got "
             f"{d.loader!r}")
+    if eval_mode is None and cfg.train.batch_size % max(num_shards, 1):
+        raise ValueError(
+            f"train.batch_size={cfg.train.batch_size} must be divisible by "
+            f"the number of data shards ({num_shards}): the mesh data axis "
+            f"is sized against the GLOBAL batch, so a truncated per-shard "
+            f"batch would fail sharding with an opaque shape error")
     cls = _dataset_cls(d.name)
     ignore_label = getattr(cls, "ignore_label", d.ignore_label)
 
@@ -133,9 +156,7 @@ def setup_data(cfg: Config, eval_mode: Optional[str] = None,
         return None, val_loader, None
 
     if d.jointwtborder:
-        label_transform = partial(relaxed_onehot,
-                                  num_classes=d.num_classes,
-                                  ignore_label=ignore_label)
+        label_transform = relaxed_label_transform(cfg, ignore_label)
     else:
         label_transform = mask_to_array
 

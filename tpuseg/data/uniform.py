@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from collections import defaultdict
 from functools import partial
 from multiprocessing.dummy import Pool
@@ -97,8 +98,20 @@ def build_centroids(items, num_classes: int, centroid_root: str,
         return {int(k): v for k, v in centroids.items()}
 
     if not is_primary:
-        raise FileNotFoundError(
-            f"{json_fn} missing; the primary process must build it first")
+        # multi-host cold start: the primary is building the cache right
+        # now (can take ~10 min on full Cityscapes). os.replace makes the
+        # write atomic, so waiting for the path to appear is safe — a
+        # partial file is never visible.
+        deadline = time.monotonic() + 3600
+        while not os.path.isfile(json_fn):
+            if time.monotonic() > deadline:
+                raise FileNotFoundError(
+                    f"{json_fn} still missing after 1h; did the primary "
+                    f"process die while building the centroid cache?")
+            time.sleep(5)
+        with open(json_fn) as f:
+            centroids = json.load(f)
+        return {int(k): v for k, v in centroids.items()}
 
     os.makedirs(centroid_root, exist_ok=True)
     centroids = class_centroids_all(items, num_classes, id2trainid, tile_size)

@@ -10,21 +10,33 @@ from __future__ import annotations
 from multiprocessing.dummy import Pool
 
 import numpy as np
-from scipy.ndimage import binary_dilation, generate_binary_structure
+from scipy.ndimage import binary_dilation
 
 
 def _seg2bmap(seg: np.ndarray) -> np.ndarray:
-    """Binary boundary map of a binary segmentation (reference
-    db_eval_boundary's seg2bmap, f_boundary.py:142-233): a pixel is boundary
-    if it differs from its right or lower neighbor."""
-    seg = seg.astype(bool)
+    """Binary boundary map of a binary segmentation (reference seg2bmap,
+    f_boundary.py:176-233): a pixel is boundary if it differs from its
+    right, lower, or lower-right neighbor — marked on BOTH sides of the
+    edge (the boundary sits 1/2 px toward the origin, with no
+    foreground masking)."""
+    seg = np.asarray(seg, dtype=bool)
     b = np.zeros_like(seg)
-    b[:, :-1] |= seg[:, :-1] ^ seg[:, 1:]
-    b[:-1, :] |= seg[:-1, :] ^ seg[1:, :]
-    # outer border pixels count if set
-    b[:, -1] |= seg[:, -1]
-    b[-1, :] |= seg[-1, :]
-    return b & seg
+    b[:-1, :-1] = ((seg[:-1, :-1] ^ seg[:-1, 1:])
+                   | (seg[:-1, :-1] ^ seg[1:, :-1])
+                   | (seg[:-1, :-1] ^ seg[1:, 1:]))
+    # the reference overwrites the last row/column with one-directional
+    # XORs (right-neighbor only / down-neighbor only) and zeroes the corner
+    b[-1, :-1] = seg[-1, :-1] ^ seg[-1, 1:]
+    b[:-1, -1] = seg[:-1, -1] ^ seg[1:, -1]
+    b[-1, -1] = False
+    return b
+
+
+def _disk(radius: int) -> np.ndarray:
+    """Euclidean-disk footprint matching skimage.morphology.disk (the
+    reference dilates with disk(bound_pix), f_boundary.py:140-143)."""
+    y, x = np.ogrid[-radius:radius + 1, -radius:radius + 1]
+    return x * x + y * y <= radius * radius
 
 
 def db_eval_boundary(pred_mask: np.ndarray, gt_mask: np.ndarray,
@@ -37,9 +49,9 @@ def db_eval_boundary(pred_mask: np.ndarray, gt_mask: np.ndarray,
     fg_boundary = _seg2bmap(pred_mask)
     gt_boundary = _seg2bmap(gt_mask)
 
-    struct = generate_binary_structure(2, 2)  # disk-ish
-    fg_dil = binary_dilation(fg_boundary, struct, iterations=max(bound_pix, 1))
-    gt_dil = binary_dilation(gt_boundary, struct, iterations=max(bound_pix, 1))
+    disk = _disk(int(bound_pix))
+    fg_dil = binary_dilation(fg_boundary, disk)
+    gt_dil = binary_dilation(gt_boundary, disk)
 
     gt_match = gt_boundary & fg_dil
     fg_match = fg_boundary & gt_dil

@@ -127,7 +127,10 @@ class EvalRunner:
                  pad_multiple: Optional[int] = None):
         self.num_classes = num_classes
         self.ignore_label = ignore_label
-        self.criterion = criterion
+        # jit the val criterion: eager per-batch loss dispatches op-by-op
+        # through the device relay (~30x slower); jit caches per shape
+        self.criterion = jax.jit(criterion) if criterion is not None \
+            else None
         self.pad_multiple = pad_multiple
         # static per-scale-hist key set (mirrors make_eval_forward's
         # `per_scale` gating) so multi-host reductions can run a fixed,

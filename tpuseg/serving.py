@@ -3,7 +3,7 @@
 The reference has no serving story (inference = rerunning train.py with
 --eval); a TPU-native framework should ship one. ``export_model``
 serializes the jitted multi-scale eval forward — weights baked in as
-constants — into a single portable artifact that any JAX process (or, via
+constants — into a portable artifact that any JAX process (or, via
 StableHLO, non-JAX runtimes) can load WITHOUT the tpuseg package, the
 model code, or a checkpoint directory:
 
@@ -12,10 +12,12 @@ model code, or a checkpoint directory:
     serve = load_exported("model.tpuseg")
     logits = serve(images)           # (B, H, W, num_classes) f32
 
-Artifacts record the input spec and are validated on load. Exported
-functions are shape-specialized (XLA static shapes): export one artifact
-per serving resolution/batch, or pass several sizes to get a multi-entry
-bundle.
+Exported functions are shape-specialized (XLA static shapes), so an
+artifact is a BUNDLE of entries, one per (batch, H, W, dtype). Pass a
+list of sizes — or call ``export_model`` repeatedly on the same path —
+to accumulate entries; ``load_exported`` returns one callable that
+dispatches on the input shape. Re-exporting an existing entry replaces
+it; a path holding a foreign format is refused, never clobbered.
 """
 from __future__ import annotations
 
@@ -37,63 +39,100 @@ def _eval_fn(model):
     return fn
 
 
-def export_model(model, variables, input_hw: Sequence[int], path: str,
+def _read_manifest(path: str) -> dict | None:
+    fn = os.path.join(path, "manifest.json")
+    if not os.path.isfile(fn):
+        return None
+    with open(fn) as f:
+        manifest = json.load(f)
+    if manifest.get("format") != _MAGIC:
+        raise ValueError(
+            f"{path} holds a non-tpuseg (or newer-format) artifact "
+            f"({manifest.get('format')!r}); refusing to overwrite")
+    return manifest
+
+
+def _export_one(closed, shape, dtype: str, path: str,
+                platforms: Sequence[str] | None) -> dict:
+    from jax import export as jexport
+
+    spec = jax.ShapeDtypeStruct(shape, jnp.dtype(dtype))
+    kw = {"platforms": tuple(platforms)} if platforms is not None else {}
+    exp = jexport.export(closed, **kw)(spec)
+    blob = exp.serialize()
+    fname = "fn_" + "x".join(str(s) for s in shape[:3]) + ".stablehlo"
+    with open(os.path.join(path, fname), "wb") as f:
+        f.write(blob)
+    return {
+        "file": fname,
+        "input": {"shape": list(shape), "dtype": dtype},
+        "platforms": list(exp.platforms),
+        "bytes": len(blob),
+    }
+
+
+def export_model(model, variables, input_hw, path: str,
                  batch_size: int = 1, input_dtype: str = "bfloat16",
                  platforms: Sequence[str] | None = None) -> dict:
     """Serialize ``model.apply(variables, x, train=False)['pred']`` with the
-    weights baked in. Returns the artifact's manifest dict.
+    weights baked in.
+
+    ``input_hw``: one ``(h, w)`` pair or a sequence of pairs (multi-entry
+    bundle). Returns the new entry dict for a single size, or the full
+    manifest for several.
 
     ``platforms``: lowering targets (default: the current backend). Pass
     ("tpu", "cpu") for an artifact that runs on both.
     """
-    from jax import export as jexport
+    sizes = list(input_hw)
+    if not hasattr(sizes[0], "__len__"):
+        sizes = [sizes]
 
-    h, w = (int(s) for s in input_hw)
     fn = _eval_fn(model)
     closed = jax.jit(lambda x: fn(variables, x))
-    spec = jax.ShapeDtypeStruct((batch_size, h, w, 3),
-                                jnp.dtype(input_dtype))
-    kw = {}
-    if platforms is not None:
-        kw["platforms"] = tuple(platforms)
-    exp = jexport.export(closed, **kw)(spec)
-
     os.makedirs(path, exist_ok=True)
-    blob = exp.serialize()
-    with open(os.path.join(path, "fn.stablehlo"), "wb") as f:
-        f.write(blob)
-    manifest = {
-        "format": _MAGIC,
-        "input": {"shape": [batch_size, h, w, 3], "dtype": input_dtype},
-        "platforms": list(exp.platforms),
-        "jax_version": jax.__version__,
-        "bytes": len(blob),
-    }
+    manifest = _read_manifest(path) or {
+        "format": _MAGIC, "jax_version": jax.__version__, "entries": []}
+
+    new_entries = []
+    for hw in sizes:
+        h, w = (int(s) for s in hw)
+        shape = (batch_size, h, w, 3)
+        entry = _export_one(closed, shape, input_dtype, path, platforms)
+        manifest["entries"] = [
+            e for e in manifest["entries"]
+            if tuple(e["input"]["shape"]) != shape] + [entry]
+        new_entries.append(entry)
+
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
-    return manifest
+    return new_entries[0] if len(new_entries) == 1 else manifest
 
 
 def load_exported(path: str) -> Callable:
     """-> callable(images) running the exported forward. Validates the
-    manifest and enforces the recorded input spec."""
+    manifest and dispatches on the input shape across the bundle's
+    entries."""
     from jax import export as jexport
 
-    with open(os.path.join(path, "manifest.json")) as f:
-        manifest = json.load(f)
-    if manifest.get("format") != _MAGIC:
-        raise ValueError(f"not a tpuseg export: {path}")
-    with open(os.path.join(path, "fn.stablehlo"), "rb") as f:
-        exp = jexport.deserialize(f.read())
-    want_shape = tuple(manifest["input"]["shape"])
-    want_dtype = jnp.dtype(manifest["input"]["dtype"])
+    manifest = _read_manifest(path)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest.json under {path}")
+    by_shape = {}
+    for entry in manifest["entries"]:
+        with open(os.path.join(path, entry["file"]), "rb") as f:
+            exp = jexport.deserialize(f.read())
+        by_shape[tuple(entry["input"]["shape"])] = (
+            exp, jnp.dtype(entry["input"]["dtype"]))
 
     def serve(images):
-        images = jnp.asarray(images, want_dtype)
-        if images.shape != want_shape:
+        shape = tuple(jnp.shape(images))
+        if shape not in by_shape:
             raise ValueError(
-                f"exported for input {want_shape}, got {images.shape}")
-        return exp.call(images)
+                f"no entry exported for input {shape}; bundle has "
+                f"{sorted(by_shape)}")
+        exp, dtype = by_shape[shape]
+        return exp.call(jnp.asarray(images, dtype))
 
     serve.manifest = manifest
     return serve

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpuseg.config import Config, infer_mscale
+from tpuseg.config import Config, eval_model_config, infer_mscale
 from tpuseg.data.setup import setup_data
 from tpuseg.evaluation.dumper import ImageDumper
 from tpuseg.evaluation.inference import EvalRunner
@@ -123,13 +123,7 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _make_eval_model(self):
-        cfg = self.cfg
-        if infer_mscale(cfg) and not cfg.model.n_scales:
-            import dataclasses
-
-            cfg = cfg.replace(model=dataclasses.replace(
-                cfg.model, n_scales=tuple(cfg.eval.scales)))
-        return get_model(cfg)
+        return get_model(eval_model_config(self.cfg))
 
     def _restore(self):
         cfg = self.cfg
@@ -181,12 +175,31 @@ class Trainer:
                 donate_argnums=(0,)))
         return getattr(self, key)
 
+    def _maybe_reduce_border_labels(self, invert: bool):
+        """Label side of the REDUCE_BORDER_EPOCH flip: halve the
+        relaxation window and mark boundary pixels with weight 2
+        (reference transforms/transforms.py:103-123 reads the global
+        EPOCH; here the transform is swapped explicitly). Idempotent —
+        the swapped-in partial is equivalent every epoch past the
+        threshold. Workers (threaded or grain) pick it up because both
+        loaders consult the live dataset at iteration time."""
+        cfg = self.cfg
+        if (invert and cfg.dataset.jointwtborder
+                and self.train_set is not None
+                and hasattr(self.train_set, "label_transform")):
+            from tpuseg.data.setup import relaxed_label_transform
+            ignore = getattr(self.train_set, "ignore_label",
+                             cfg.dataset.ignore_label)
+            self.train_set.label_transform = relaxed_label_transform(
+                cfg, ignore, reduce_border=True)
+
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int):
         """(reference train(): train.py:465-533)"""
         cfg = self.cfg
         invert = (cfg.loss.reduce_border_epoch != -1 and
                   epoch > cfg.loss.reduce_border_epoch)
+        self._maybe_reduce_border_labels(invert)
         step_fn = self._get_train_step(invert)
         rng = jax.random.PRNGKey(cfg.train.seed + 1)
 
@@ -268,9 +281,13 @@ class Trainer:
             # val shard, hists allreduced at the end): per-host shards have
             # divergent batch counts, so dispatching them against the
             # globally-sharded train state would deadlock. Localize the
-            # replicated params (every device holds the full value).
+            # replicated params (every device holds the full value) and
+            # pin them on the local device ONCE — passing numpy trees
+            # would re-upload the full parameter set every batch.
+            dev = jax.local_devices()[0]
             variables = jax.tree.map(
-                lambda x: np.asarray(x.addressable_data(0)), variables)
+                lambda x: jax.device_put(x.addressable_data(0), dev),
+                variables)
         for val_idx, batch in enumerate(self.val_loader):
             if cfg.train.test_mode and val_idx >= 5:
                 break
@@ -309,7 +326,11 @@ class Trainer:
         dumper.write_summaries(self.logger, int(self.state.step))
         dumper.write_webpage()
 
-        if self.is_primary and metrics.mean_iou >= self.best_miou:
+        # no is_primary gate: mean_iou comes from multihost_sum so it is
+        # identical on every host, and the collective ckpt.save below
+        # records best_miou — a primary-only update would write 0.0 from
+        # non-primary hosts into the shared checkpoint metadata
+        if metrics.mean_iou >= self.best_miou:
             self.best_miou = metrics.mean_iou
         self.ckpt.save(int(self.state.step), self.state, epoch,
                        metrics.mean_iou)
@@ -338,13 +359,7 @@ def evaluate_only(cfg: Config, logdir: str = "logs",
                   is_primary: bool = True):
     """Eval-only entry (reference: train.py:406-429 --eval paths)."""
     logger = Logger(logdir, is_primary)
-    model_cfg = cfg
-    if infer_mscale(cfg) and not cfg.model.n_scales:
-        import dataclasses
-
-        model_cfg = cfg.replace(model=dataclasses.replace(
-            cfg.model, n_scales=tuple(cfg.eval.scales)))
-    model = get_model(model_cfg)
+    model = get_model(eval_model_config(cfg))
     _, val_criterion = get_loss(cfg)
 
     _, val_loader, _ = setup_data(cfg, eval_mode=eval_mode,

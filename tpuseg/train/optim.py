@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax.numpy as jnp
 import optax
 
 from tpuseg.config import Config
@@ -32,8 +33,10 @@ def poly2_schedule(base_lr: float, max_epoch: int, poly_exp: float,
     """Exponent doubles after ``poly_step`` epochs
     (reference poly2_schd: loss/optimizer.py:70-75)."""
     def fn(step):
+        # branch via jnp.where: `step` is a tracer inside the jitted
+        # train step, so a Python `if` would crash at trace time
         epoch = step // steps_per_epoch
-        exp = poly_exp if epoch < poly_step else 2 * poly_exp
+        exp = jnp.where(epoch < poly_step, poly_exp, 2.0 * poly_exp)
         return base_lr * (1.0 - epoch / max_epoch) ** exp
     return fn
 
@@ -44,11 +47,13 @@ def scl_poly_schedule(base_lr: float, max_epoch: int, poly_exp: float,
     """Warm-restart poly tied to REDUCE_BORDER_EPOCH
     (reference: loss/optimizer.py:77-87)."""
     def fn(step):
+        # both branches are computed under jit (step is a tracer); clamp
+        # the bases at 0 so the unselected branch can't produce nan
         epoch = step // steps_per_epoch
-        if epoch < rescale_thresh:
-            return base_lr * (1.0 - epoch / max_epoch) ** poly_exp
+        pre = base_lr * jnp.maximum(1.0 - epoch / max_epoch, 0.0) ** poly_exp
         frac = (epoch - rescale_thresh) / (max_epoch - rescale_thresh)
-        return base_lr * scale_value * (1.0 - frac) ** repoly
+        post = base_lr * scale_value * jnp.maximum(1.0 - frac, 0.0) ** repoly
+        return jnp.where(epoch < rescale_thresh, pre, post)
     return fn
 
 
