@@ -317,6 +317,35 @@ def test_cli_config_parsing(tmp_path):
     # bracketed-list override form
     cfg = load_config(None, ["dataset.crop_size=[64,128]"])
     assert tuple(cfg.dataset.crop_size) == (64, 128)
+    # YAML-style booleans: 'false' must become False, not a truthy string
+    # (regression: `--set model.remat=false` used to ENABLE remat)
+    cfg = load_config(None, ["model.remat=false", "eval.do_flip=true",
+                             "model.n_scales=null"])
+    assert cfg.model.remat is False
+    assert cfg.eval.do_flip is True
+    assert cfg.model.n_scales is None
+
+
+def test_cli_train_checkpoint_maps_to_snapshot(monkeypatch, tmp_path):
+    """`tpuseg train --checkpoint X` must warm-start from X (reference
+    --snapshot); silently ignoring it would burn a full run from fresh
+    init (regression)."""
+    from tpuseg.cli import main as cli_main
+
+    seen = {}
+
+    class FakeTrainer:
+        def __init__(self, cfg, logdir=None, is_primary=True):
+            seen["cfg"] = cfg
+
+        def fit(self):
+            pass
+
+    import tpuseg.train.loop as loop_mod
+    monkeypatch.setattr(loop_mod, "Trainer", FakeTrainer)
+    cli_main.main(["train", "--checkpoint", "/some/snapshot",
+                   "--set", "model.arch=deepv3.DeepWV3Plus"])
+    assert seen["cfg"].train.snapshot == "/some/snapshot"
 
 
 def test_all_shipped_recipes_load():

@@ -1,5 +1,5 @@
-"""Pallas kernel correctness (interpret mode on CPU) — the real-TPU path is
-exercised by bench.py / verify drives."""
+"""Pallas kernel correctness (interpret mode on CPU) — the real-TPU
+lowering is exercised by tools/bench_pallas.py."""
 import numpy as np
 import pytest
 
@@ -35,15 +35,21 @@ def test_fused_attention_bf16(rng):
                                rtol=5e-2, atol=5e-2)
 
 
-def test_softmax_ignores_padded_keys(rng):
-    """Padded key slots (K -> 128 lanes) must not leak probability mass:
-    compare K=19 against the same K embedded in a larger padded call."""
-    q = jnp.asarray(rng.randn(1, 512, 256).astype(np.float32))
-    key = jnp.asarray(rng.randn(1, 19, 256).astype(np.float32))
-    val = jnp.asarray(rng.randn(1, 19, 256).astype(np.float32))
-    base = np.asarray(fused_object_attention(q, key, val, interpret=True))
-    # add huge-magnitude rows beyond K — they must be masked out
-    key2 = jnp.concatenate([key, jnp.full((1, 10, 256), 50.0)], axis=1)
-    val2 = jnp.concatenate([val, jnp.full((1, 10, 256), 99.0)], axis=1)
-    with2 = np.asarray(reference_object_attention(q, key2, val2))
-    assert not np.allclose(base, with2, atol=1e-2)  # sanity: they differ
+def test_softmax_masks_padded_keys(rng):
+    """The kernel zero-pads K to 128 lanes, so a padded slot's sim is
+    exactly 0 and an UNMASKED softmax would hand it exp(0)=1 of mass —
+    with tiny-magnitude queries the real-key sims are also ~0, making the
+    would-be leak ~(128-K)/128 of the total. Tight parity with the
+    unpadded XLA reference under those conditions proves the -inf mask
+    works; so does mass conservation (context of all-ones values must be
+    exactly 1 everywhere, since padded slots carry val=0)."""
+    q = jnp.asarray(0.01 * rng.randn(1, 512, 256).astype(np.float32))
+    key = jnp.asarray(0.01 * rng.randn(1, 5, 256).astype(np.float32))
+    val = jnp.asarray(rng.randn(1, 5, 256).astype(np.float32))
+    got = np.asarray(fused_object_attention(q, key, val, interpret=True))
+    want = np.asarray(reference_object_attention(q, key, val))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    ones = jnp.ones((1, 5, 256), jnp.float32)
+    ctx = np.asarray(fused_object_attention(q, key, ones, interpret=True))
+    np.testing.assert_allclose(ctx, 1.0, rtol=1e-5)

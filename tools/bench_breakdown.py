@@ -12,12 +12,13 @@ Prints one JSON line per entry as it completes (restart-friendly).
 Timing methodology: tools/_timing.py (single source, shared with bench.py).
 """
 import json
+import os
 import sys
 
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from tools._timing import scan_k, timeit_scan as timeit  # noqa: E402
 

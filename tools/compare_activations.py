@@ -46,7 +46,12 @@ def capture_flax_intermediates(model, variables, x):
     def walk(tree, prefix=""):
         for k, v in tree.items():
             if k == "__call__":
-                out = v[0]
+                # keep the LAST invocation: the documented torch hook
+                # overwrites acts[name] per forward, so for multi-scale
+                # models (every module called once per scale pass) torch
+                # holds the final pass — v[-1] matches that; v[0] would
+                # compare the 0.5x pass against torch's 1.0x
+                out = v[-1]
                 if isinstance(out, (tuple, list)):
                     for i, o in enumerate(out):
                         if hasattr(o, "shape"):
@@ -116,7 +121,11 @@ def main():
     flax_acts = capture_flax_intermediates(model, variables, x)
     torch_acts = dict(np.load(args.torch_acts))
     rows = compare(flax_acts, torch_acts)
-    rows.sort(key=lambda r: r[0])
+    # npz member order preserves the torch dict's insertion order, which
+    # is forward-hook call order — sorting by it (not alphabetically)
+    # keeps the promise that the FIRST divergent layer prints first
+    order = {k: i for i, k in enumerate(torch_acts)}
+    rows.sort(key=lambda r: order.get(r[1], len(order)))
     print(f"{'layer':<60} {'maxdiff':>10} {'meandiff':>10}")
     for fk, tk, mx, mn, note in rows:
         if note:

@@ -353,11 +353,10 @@ def trunk_key_fn(trunk_name: str, flax_prefix: str = "backbone/"):
 # tensor conversion
 # ---------------------------------------------------------------------------
 
-def convert_conv_weight(w: np.ndarray, feature_group_count: int = 1
-                        ) -> np.ndarray:
-    """torch OIHW -> flax HWIO (depthwise: (C,1,H,W) -> (H,W,1,C))."""
-    if feature_group_count > 1 and w.shape[1] == 1:
-        return np.transpose(w, (2, 3, 1, 0))
+def convert_conv_weight(w: np.ndarray) -> np.ndarray:
+    """torch OIHW -> flax HWIO. The same transpose covers depthwise convs
+    too: torch (C,1,H,W) -> flax (H,W,1,C) is the identical axis
+    permutation, so no grouped-conv special case is needed."""
     return np.transpose(w, (2, 3, 1, 0))
 
 

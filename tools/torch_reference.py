@@ -270,9 +270,15 @@ def main():
                         acts[f"{name}#{i}"] = o.detach().numpy()
         return fn
 
-    for name, mod in net.named_modules():
-        if name:
-            mod.register_forward_hook(_hook(name))
+    handles = [mod.register_forward_hook(_hook(name))
+               for name, mod in net.named_modules() if name]
+
+    def _drop_hooks():
+        # the multi-scale forwards below would otherwise re-fill `acts`
+        # with several full activation sets that are never saved
+        for h in handles:
+            h.remove()
+        acts.clear()
 
     with torch.no_grad():
         if hasattr(net, "_fwd"):  # mscale family
@@ -280,7 +286,7 @@ def main():
             for k, v in single.items():
                 outs[f"single/{k}"] = v.numpy()
             np.savez(os.path.join(args.out, "acts.npz"), **acts)
-            acts.clear()
+            _drop_hooks()
 
             cfg.MODEL.N_SCALES = None  # -> two_scale (ocrnet.py:330-332)
             two = net({"images": x})
@@ -295,6 +301,8 @@ def main():
             ev = net({"images": x})
             for k, v in ev.items():
                 outs[f"eval/{k}"] = v.numpy()
+            np.savez(os.path.join(args.out, "acts.npz"), **acts)
+            _drop_hooks()
 
     np.savez(os.path.join(args.out, "outputs.npz"), **outs)
     print(f"dumped reference state_dict + outputs to {args.out}")

@@ -20,7 +20,15 @@ from tpuseg.config import make_config
 
 
 def _parse_value(v: str):
-    # whole-literal first so bracketed lists ("[64,64]") work; the bare
+    # YAML-style scalars first: ast.literal_eval only accepts the
+    # capitalized Python spellings, and a leaked 'false' STRING is truthy
+    # — it would silently invert every boolean override
+    low = v.strip().lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("none", "null"):
+        return None
+    # whole-literal next so bracketed lists ("[64,64]") work; the bare
     # comma form ("64,64") mirrors the reference's flag syntax
     try:
         return ast.literal_eval(v)
@@ -57,7 +65,8 @@ def main(argv=None):
                         metavar="KEY=VALUE", help="dotted config override")
     parser.add_argument("--logdir", default="logs")
     parser.add_argument("--checkpoint", default=None,
-                        help="weights for eval/dump")
+                        help="weights for eval/dump/export; warm-start "
+                             "snapshot for train (maps to train.snapshot)")
     parser.add_argument("--eval-mode", default="val",
                         choices=["val", "trn", "folder"])
     parser.add_argument("--multi-host", action="store_true",
@@ -78,6 +87,14 @@ def main(argv=None):
     if args.command == "train":
         from tpuseg.train.loop import Trainer
 
+        if args.checkpoint:
+            # warm-start weights (reference --snapshot, train.py:343-376);
+            # silently ignoring the flag would burn a full training run
+            # from fresh init
+            import dataclasses
+
+            cfg = cfg.replace(train=dataclasses.replace(
+                cfg.train, snapshot=args.checkpoint))
         Trainer(cfg, logdir=args.logdir, is_primary=is_primary).fit()
     elif args.command == "eval":
         from tpuseg.train.loop import evaluate_only

@@ -17,7 +17,16 @@ Layout notes:
 - K is padded to the 128-lane width; padded key slots are masked to -inf
   before the softmax;
 - matmuls accumulate in f32 on the MXU (preferred_element_type);
-- the N axis is tiled at 512 rows/program.
+- the N axis is tiled at 2048 rows/program (measured best of
+  512/2048/8192 on v5e).
+
+Honest status (tools/bench_pallas.py, v5e, N=131072 K=19 d=256 bf16):
+XLA's own fusion of the unfused einsum chain runs this op at the HBM
+roofline (~162 us = 134 MB q+ctx traffic at ~819 GB/s); this kernel
+measures ~374 us. XLA never materializes the (N, K) sim/attn tensors to
+HBM here — the flash-attention-style motivation does not pay off at such
+a small class axis. The kernel therefore stays OPT-IN
+(model.use_pallas, eval-only) as the Pallas integration point.
 """
 from __future__ import annotations
 
@@ -28,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_N = 512
+TILE_N = 2048
 LANES = 128
 
 
