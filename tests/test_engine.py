@@ -97,6 +97,26 @@ def test_trainer_fit_end_to_end(fake_cityscapes, tmp_path):
     assert int(state.step) == step_before + 1
 
 
+def test_trainer_profile_steps(fake_cityscapes, tmp_path):
+    """train.profile_steps captures a device trace of the first steps
+    (SURVEY §5.1) without perturbing training."""
+    import dataclasses as dc
+    import glob
+
+    from tpuseg.train.loop import Trainer
+
+    logdir = str(tmp_path / "logs")
+    cfg = engine_cfg(fake_cityscapes, str(tmp_path))
+    cfg = cfg.replace(train=dc.replace(cfg.train, profile_steps=2,
+                                       max_epoch=1))
+    trainer = Trainer(cfg, logdir=logdir)
+    trainer.train_epoch(0)
+    # a trace dir with at least one .trace/.pb artifact was written
+    found = glob.glob(os.path.join(logdir, "trace", "**", "*"),
+                      recursive=True)
+    assert found, "no profiler trace written"
+
+
 def test_eval_runner_avgpool_and_flip(fake_cityscapes, tmp_path):
     """Outer flip x extra-scale averaging (reference:
     trnval_utils.py:109-160)."""

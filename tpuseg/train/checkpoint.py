@@ -87,6 +87,14 @@ class CheckpointManager:
         }
         self.manager.save(step, args=ocp.args.StandardSave(payload),
                           metrics={"mean_iu": float(mean_iu)})
+        # NO wait_until_finished here: orbax copies device arrays to host
+        # synchronously inside save() (so later donation of the state
+        # buffers is safe) and writes asynchronously — blocking here would
+        # stall the train loop for the full write. Callers must
+        # wait_until_finished() before process exit (Trainer.fit does).
+
+    def wait_until_finished(self):
+        """Block until pending async writes land (call before exit)."""
         self.manager.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
@@ -102,6 +110,7 @@ class CheckpointManager:
         ``tx.update`` after resume crashes. With it, every container type
         (ScaleByAdamState etc.) is reconstructed faithfully.
         """
+        self.manager.wait_until_finished()  # in-flight async save, if any
         step = step if step is not None else self.manager.latest_step()
         if step is None:
             return None

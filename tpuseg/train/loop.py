@@ -224,6 +224,12 @@ class Trainer:
         loss_sum = None
         t_start = time.time()
         n_done = 0
+        # device-trace capture of the first profile_steps steady-state
+        # steps (train.profile_steps; step 0 is the compile step)
+        profile_on = (cfg.train.profile_steps > 0 and
+                      epoch == self.start_epoch and self.is_primary)
+        trace_dir = os.path.join(self.logdir, "trace")
+        tracing = False
         for i, batch in enumerate(self.train_loader):
             if cfg.train.test_mode and i >= 10:
                 break
@@ -233,6 +239,16 @@ class Trainer:
             loss_sum = metrics["loss"] if loss_sum is None \
                 else loss_sum + metrics["loss"]
             n_done += 1
+            if profile_on:
+                if i == 0:
+                    float(metrics["loss"])  # let the compile step finish
+                    jax.profiler.start_trace(trace_dir)
+                    tracing = True
+                elif tracing and i >= cfg.train.profile_steps:
+                    float(metrics["loss"])  # flush traced steps
+                    jax.profiler.stop_trace()
+                    tracing = False
+                    self.logger.msg(f"device trace -> {trace_dir}")
             if (i + 1) % cfg.train.log_every == 0 or i == 0:
                 loss = float(metrics["loss"])  # device sync point
                 avg = float(loss_sum) / n_done
@@ -248,6 +264,9 @@ class Trainer:
                     f"{imgs_s:.2f} img/s")
                 self.logger.metric("train", {"loss": loss, "lr": lr,
                                              "imgs_per_sec": imgs_s}, step)
+        if tracing:  # epoch shorter than profile_steps
+            jax.profiler.stop_trace()
+            self.logger.msg(f"device trace -> {trace_dir}")
         return float(loss_sum) / n_done if n_done else 0.0
 
     # ------------------------------------------------------------------
@@ -350,7 +369,9 @@ class Trainer:
                 self.logger.msg("termination requested: checkpoint + exit")
                 self.ckpt.save(int(self.state.step), self.state, epoch,
                                self.best_miou)
+                self.ckpt.wait_until_finished()
                 return
+        self.ckpt.wait_until_finished()  # drain async checkpoint writes
         self.logger.msg(f"done; best mIoU {self.best_miou:.4f}")
 
 
