@@ -323,6 +323,25 @@ def test_seg2bmap_matches_reference():
     np.testing.assert_array_equal(_seg2bmap(row)[0], [1, 0, 1, 0])
 
 
+def test_dilate_disk_matches_dense_footprint():
+    """The EDT-threshold dilation equals binary_dilation with the dense
+    Euclidean-disk footprint (what skimage disk(r) builds)."""
+    from scipy.ndimage import binary_dilation
+
+    from tpuseg.evaluation.f_boundary import _dilate_disk
+
+    rng = np.random.default_rng(1)
+    for r in [1, 3, 7]:
+        b = rng.random((48, 64)) < 0.02
+        y, x = np.ogrid[-r:r + 1, -r:r + 1]
+        disk = x * x + y * y <= r * r
+        np.testing.assert_array_equal(_dilate_disk(b, r),
+                                      binary_dilation(b, disk))
+    # r=0 and empty masks are identity
+    b = np.zeros((8, 8), bool)
+    np.testing.assert_array_equal(_dilate_disk(b, 3), b)
+
+
 def test_cli_config_parsing(tmp_path):
     from tpuseg.cli.main import load_config
 

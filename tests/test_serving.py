@@ -69,16 +69,40 @@ def test_export_multi_entry_bundle(tiny_model, tmp_path):
     with pytest.raises(ValueError, match="no entry"):
         serve(np.zeros((1, 16, 16, 3), np.float32))
 
-    # a foreign artifact is refused, never clobbered
+    # a foreign artifact is refused, never clobbered — including an
+    # old-schema v1 manifest (same project, incompatible layout)
     import json
     import os
-    foreign = str(tmp_path / "foreign")
-    os.makedirs(foreign)
-    with open(os.path.join(foreign, "manifest.json"), "w") as f:
-        json.dump({"format": "something-else"}, f)
-    with pytest.raises(ValueError, match="refusing"):
-        export_model(model, variables, (32, 32), foreign,
-                     input_dtype="float32")
+    for fmt in ("something-else", "tpuseg-export-v1"):
+        foreign = str(tmp_path / f"foreign-{fmt}")
+        os.makedirs(foreign)
+        with open(os.path.join(foreign, "manifest.json"), "w") as f:
+            json.dump({"format": fmt, "input": {"shape": [1, 8, 8, 3]}}, f)
+        with pytest.raises(ValueError, match="refusing"):
+            export_model(model, variables, (32, 32), foreign,
+                         input_dtype="float32")
+        with pytest.raises(ValueError, match="refusing"):
+            load_exported(foreign)
+
+
+def test_export_two_dtypes_same_size(tiny_model, tmp_path):
+    """Entries are keyed by (shape, dtype): two dtypes at one size
+    coexist and serve() dispatches on the input dtype."""
+    from tpuseg.serving import export_model, load_exported
+
+    model, variables = tiny_model
+    path = str(tmp_path / "dt")
+    export_model(model, variables, (32, 32), path, input_dtype="float32")
+    export_model(model, variables, (32, 32), path, input_dtype="bfloat16")
+    serve = load_exported(path)
+    assert len(serve.manifest["entries"]) == 2
+    out32 = serve(np.zeros((1, 32, 32, 3), np.float32))
+    assert out32.shape == (1, 32, 32, 19)
+    import jax.numpy as jnp
+    outbf = serve(jnp.zeros((1, 32, 32, 3), jnp.bfloat16))
+    assert outbf.shape == (1, 32, 32, 19)
+    with pytest.raises(ValueError, match="dtype"):
+        serve(np.zeros((1, 32, 32, 3), np.int32))
 
 
 def test_export_cli(tmp_path):

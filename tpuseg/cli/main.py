@@ -20,20 +20,22 @@ from tpuseg.config import make_config
 
 
 def _parse_value(v: str):
-    # YAML-style scalars first: ast.literal_eval only accepts the
-    # capitalized Python spellings, and a leaked 'false' STRING is truthy
-    # — it would silently invert every boolean override
-    low = v.strip().lower()
-    if low in ("true", "false"):
-        return low == "true"
-    if low in ("none", "null"):
-        return None
-    # whole-literal next so bracketed lists ("[64,64]") work; the bare
-    # comma form ("64,64") mirrors the reference's flag syntax
+    # whole Python literal first so bracketed lists ("[64,64]") and
+    # e-notation ("1e-3", a string to YAML 1.1) work
     try:
         return ast.literal_eval(v)
     except (ValueError, SyntaxError):
         pass
+    # then YAML scalar resolution — same rules as the recipe files, so
+    # 'false' becomes False (a leaked 'false' STRING is truthy and would
+    # silently invert every boolean override) and 'null'/'~' become None
+    try:
+        y = yaml.safe_load(v)
+    except yaml.YAMLError:
+        y = v
+    if not isinstance(y, str):
+        return y
+    # the bare comma form ("64,64") mirrors the reference's flag syntax
     if "," in v:
         return tuple(_parse_value(x) for x in v.split(",") if x != "")
     return v

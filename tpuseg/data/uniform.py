@@ -101,13 +101,20 @@ def build_centroids(items, num_classes: int, centroid_root: str,
         # multi-host cold start: the primary is building the cache right
         # now (can take ~10 min on full Cityscapes). os.replace makes the
         # write atomic, so waiting for the path to appear is safe — a
-        # partial file is never visible.
+        # partial file is never visible. Announce the wait immediately:
+        # if centroid_root is NOT on a filesystem shared with the primary
+        # this poll can never succeed, and a silent loop would read as a
+        # frozen job.
+        print(f"[uniform] waiting for primary to build centroid cache "
+              f"{json_fn} (requires a SHARED filesystem; timeout 1h)",
+              flush=True)
         deadline = time.monotonic() + 3600
         while not os.path.isfile(json_fn):
             if time.monotonic() > deadline:
                 raise FileNotFoundError(
-                    f"{json_fn} still missing after 1h; did the primary "
-                    f"process die while building the centroid cache?")
+                    f"{json_fn} still missing after 1h: either the "
+                    f"primary died mid-build, or centroid_root is not on "
+                    f"a filesystem shared across hosts")
             time.sleep(5)
         with open(json_fn) as f:
             centroids = json.load(f)

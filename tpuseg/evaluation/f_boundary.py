@@ -10,7 +10,7 @@ from __future__ import annotations
 from multiprocessing.dummy import Pool
 
 import numpy as np
-from scipy.ndimage import binary_dilation
+from scipy.ndimage import distance_transform_edt
 
 
 def _seg2bmap(seg: np.ndarray) -> np.ndarray:
@@ -32,11 +32,15 @@ def _seg2bmap(seg: np.ndarray) -> np.ndarray:
     return b
 
 
-def _disk(radius: int) -> np.ndarray:
-    """Euclidean-disk footprint matching skimage.morphology.disk (the
-    reference dilates with disk(bound_pix), f_boundary.py:140-143)."""
-    y, x = np.ogrid[-radius:radius + 1, -radius:radius + 1]
-    return x * x + y * y <= radius * radius
+def _dilate_disk(b: np.ndarray, radius: int) -> np.ndarray:
+    """Euclidean-disk dilation matching skimage
+    binary_dilation(b, disk(radius)) (the reference, f_boundary.py:140-143)
+    via a distance transform: pixel in dilation <=> nearest boundary pixel
+    within `radius` — O(1)/pixel instead of a (2r+1)^2 dense footprint
+    (r ~ 19 at Cityscapes resolution)."""
+    if radius < 1 or not b.any():
+        return b
+    return distance_transform_edt(~b) <= radius
 
 
 def db_eval_boundary(pred_mask: np.ndarray, gt_mask: np.ndarray,
@@ -49,9 +53,8 @@ def db_eval_boundary(pred_mask: np.ndarray, gt_mask: np.ndarray,
     fg_boundary = _seg2bmap(pred_mask)
     gt_boundary = _seg2bmap(gt_mask)
 
-    disk = _disk(int(bound_pix))
-    fg_dil = binary_dilation(fg_boundary, disk)
-    gt_dil = binary_dilation(gt_boundary, disk)
+    fg_dil = _dilate_disk(fg_boundary, int(bound_pix))
+    gt_dil = _dilate_disk(gt_boundary, int(bound_pix))
 
     gt_match = gt_boundary & fg_dil
     fg_match = fg_boundary & gt_dil

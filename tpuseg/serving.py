@@ -28,7 +28,9 @@ from typing import Callable, Sequence
 import jax
 import jax.numpy as jnp
 
-_MAGIC = "tpuseg-export-v1"
+# v2 = multi-entry bundle schema; v1 (single-entry) artifacts are
+# rejected with a clear error rather than mis-read
+_MAGIC = "tpuseg-export-v2"
 
 
 def _eval_fn(model):
@@ -47,8 +49,9 @@ def _read_manifest(path: str) -> dict | None:
         manifest = json.load(f)
     if manifest.get("format") != _MAGIC:
         raise ValueError(
-            f"{path} holds a non-tpuseg (or newer-format) artifact "
-            f"({manifest.get('format')!r}); refusing to overwrite")
+            f"{path} holds a {manifest.get('format')!r} artifact, not "
+            f"{_MAGIC}; refusing to touch it (re-export v1 bundles from "
+            f"the checkpoint)")
     return manifest
 
 
@@ -60,7 +63,8 @@ def _export_one(closed, shape, dtype: str, path: str,
     kw = {"platforms": tuple(platforms)} if platforms is not None else {}
     exp = jexport.export(closed, **kw)(spec)
     blob = exp.serialize()
-    fname = "fn_" + "x".join(str(s) for s in shape[:3]) + ".stablehlo"
+    fname = ("fn_" + "x".join(str(s) for s in shape[:3])
+             + f"_{dtype}.stablehlo")
     with open(os.path.join(path, fname), "wb") as f:
         f.write(blob)
     return {
@@ -99,9 +103,13 @@ def export_model(model, variables, input_hw, path: str,
         h, w = (int(s) for s in hw)
         shape = (batch_size, h, w, 3)
         entry = _export_one(closed, shape, input_dtype, path, platforms)
+        # entries are keyed by (shape, dtype): re-exporting the same key
+        # replaces it, a different dtype at the same size coexists
+        key = (shape, input_dtype)
         manifest["entries"] = [
             e for e in manifest["entries"]
-            if tuple(e["input"]["shape"]) != shape] + [entry]
+            if (tuple(e["input"]["shape"]), e["input"]["dtype"]) != key
+        ] + [entry]
         new_entries.append(entry)
 
     with open(os.path.join(path, "manifest.json"), "w") as f:
@@ -118,21 +126,31 @@ def load_exported(path: str) -> Callable:
     manifest = _read_manifest(path)
     if manifest is None:
         raise FileNotFoundError(f"no manifest.json under {path}")
-    by_shape = {}
+    by_shape: dict = {}
     for entry in manifest["entries"]:
         with open(os.path.join(path, entry["file"]), "rb") as f:
             exp = jexport.deserialize(f.read())
-        by_shape[tuple(entry["input"]["shape"])] = (
-            exp, jnp.dtype(entry["input"]["dtype"]))
+        by_shape.setdefault(tuple(entry["input"]["shape"]), []).append(
+            (jnp.dtype(entry["input"]["dtype"]), exp))
 
     def serve(images):
-        shape = tuple(jnp.shape(images))
+        images = jnp.asarray(images)
+        shape = tuple(images.shape)
         if shape not in by_shape:
             raise ValueError(
                 f"no entry exported for input {shape}; bundle has "
                 f"{sorted(by_shape)}")
-        exp, dtype = by_shape[shape]
-        return exp.call(jnp.asarray(images, dtype))
+        candidates = by_shape[shape]
+        # exact dtype match wins; a single-entry shape casts the input
+        for dtype, exp in candidates:
+            if dtype == images.dtype:
+                return exp.call(images)
+        if len(candidates) == 1:
+            dtype, exp = candidates[0]
+            return exp.call(images.astype(dtype))
+        raise ValueError(
+            f"input dtype {images.dtype} matches none of the "
+            f"{[str(d) for d, _ in candidates]} entries at {shape}")
 
     serve.manifest = manifest
     return serve
