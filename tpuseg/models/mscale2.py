@@ -132,7 +132,13 @@ class MscaleV3Plus2(nn.Module):
 class Basic2(nn.Module):
     """Trunk + seg head, attention from both scales' trunk features
     (reference: mscale2.py:231-282). NOTE the reference's Basic scales
-    feats_lo UP to feats_hi (mscale2.py:253-256), opposite of V3Plus."""
+    feats_lo UP to feats_hi (mscale2.py:253-256), opposite of V3Plus.
+
+    The reference class is broken as-shipped: it calls
+    ``make_attn_head(in_ch=..., bot_ch=256, out_ch=1)`` (mscale2.py:243)
+    but make_attn_head takes only (in_ch, out_ch) (utils.py:343) —
+    TypeError on construction. This implements the evident intent:
+    bot_ch 256, the standard attn head."""
 
     num_classes: int
     trunk: str = "hrnetv2"
