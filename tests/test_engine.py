@@ -97,6 +97,38 @@ def test_trainer_fit_end_to_end(fake_cityscapes, tmp_path):
     assert int(state.step) == step_before + 1
 
 
+def test_training_is_bitwise_deterministic(tmp_path):
+    """Two fresh Trainers with the same config produce an identical
+    epoch-average loss: explicit rng everywhere (SURVEY §5.2), seeded
+    sampler permutations, no wall-clock or host randomness in the step."""
+    import dataclasses as dc
+
+    from tpuseg.train.loop import Trainer
+
+    cfg = make_config({
+        "model.arch": "ocrnet.HRNet_Mscale_Tiny",
+        "model.compute_dtype": "float32",
+        "model.remat": False,
+        "dataset.name": "synthetic",
+        "dataset.num_classes": 19,
+        "dataset.crop_size": (32, 32),
+        "dataset.num_workers": 1,
+        "train.batch_size": 2,
+        "train.test_mode": True,
+        "train.max_epoch": 1,
+        "train.log_every": 100,
+        "eval.scales": (0.5, 1.0),
+        "loss.loss_type": "ce",
+    })
+    losses = []
+    for run in range(2):
+        cfg_r = cfg.replace(train=dc.replace(
+            cfg.train, checkpoint_dir=str(tmp_path / f"ck{run}")))
+        t = Trainer(cfg_r, logdir=str(tmp_path / f"logs{run}"))
+        losses.append(t.train_epoch(0))
+    assert losses[0] == losses[1], losses
+
+
 def test_trainer_profile_steps(fake_cityscapes, tmp_path):
     """train.profile_steps captures a device trace of the first steps
     (SURVEY §5.1) without perturbing training."""
