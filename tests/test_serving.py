@@ -85,6 +85,51 @@ def test_export_multi_entry_bundle(tiny_model, tmp_path):
             load_exported(foreign)
 
 
+def test_http_server_roundtrip(tiny_model, tmp_path):
+    """`tpuseg serve` protocol: /healthz returns the manifest, /predict
+    round-trips an .npy batch, shape mismatches get a 400."""
+    import io
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from tpuseg.serving import export_model, make_http_server
+
+    model, variables = tiny_model
+    path = str(tmp_path / "srv")
+    export_model(model, variables, (32, 32), path, input_dtype="float32")
+    srv = make_http_server(path, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        health = json.loads(urllib.request.urlopen(
+            f"{base}/healthz", timeout=30).read())
+        assert len(health["entries"]) == 1
+
+        buf = io.BytesIO()
+        np.save(buf, np.zeros((1, 32, 32, 3), np.float32))
+        req = urllib.request.Request(f"{base}/predict", data=buf.getvalue(),
+                                     method="POST")
+        out = np.load(io.BytesIO(
+            urllib.request.urlopen(req, timeout=60).read()))
+        assert out.shape == (1, 32, 32, 19)
+        assert out.dtype == np.float32
+
+        bad = io.BytesIO()
+        np.save(bad, np.zeros((1, 8, 8, 3), np.float32))
+        req = urllib.request.Request(f"{base}/predict", data=bad.getvalue(),
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_export_two_dtypes_same_size(tiny_model, tmp_path):
     """Entries are keyed by (shape, dtype): two dtypes at one size
     coexist and serve() dispatches on the input dtype."""

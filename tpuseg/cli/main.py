@@ -56,9 +56,13 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="tpuseg")
     parser.add_argument("command",
                         choices=["train", "eval", "dump", "summary",
-                                 "export"])
+                                 "export", "serve"])
     parser.add_argument("--export-out", default="exported",
                         help="output dir for `export` (StableHLO artifact)")
+    parser.add_argument("--artifact", default=None,
+                        help="exported bundle dir for `serve`")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--export-size", default=None,
                         help="HxW serving resolution for `export` "
                              "(default: dataset.crop_size)")
@@ -144,6 +148,13 @@ def main(argv=None):
         print(f"exported {manifest['bytes'] / 1e6:.1f}MB artifact "
               f"for input {manifest['input']['shape']} "
               f"to {args.export_out}")
+    elif args.command == "serve":
+        # HTTP inference over an exported bundle (tpuseg/serving.py)
+        from tpuseg.serving import serve_http
+
+        if not args.artifact:
+            parser.error("serve requires --artifact <exported bundle dir>")
+        serve_http(args.artifact, host=args.host, port=args.port)
     elif args.command == "dump":
         from tpuseg.train.loop import evaluate_only
 

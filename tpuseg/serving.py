@@ -154,3 +154,74 @@ def load_exported(path: str) -> Callable:
 
     serve.manifest = manifest
     return serve
+
+
+def make_http_server(path: str, host: str = "0.0.0.0", port: int = 8000):
+    """Minimal production-style inference server over an exported bundle
+    (stdlib only — no framework deps on the serving host beyond jax).
+    Returns an unstarted ThreadingHTTPServer; call ``serve_forever()``
+    (or use ``serve_http`` / ``tpuseg serve`` which do).
+
+    Protocol:
+      GET  /healthz  -> 200, manifest JSON
+      POST /predict  -> body: ``.npy``-serialized input batch (any entry's
+                        shape/dtype); response: ``.npy`` f32 logits
+                        (B, H, W, num_classes). 400 on shape mismatch.
+    """
+    import io
+    import json as _json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import numpy as np
+
+    fn = load_exported(path)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet default stderr spam
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, _json.dumps(fn.manifest).encode(),
+                           "application/json")
+            else:
+                self._send(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, b"not found", "text/plain")
+                return
+            n = int(self.headers.get("Content-Length", 0))
+            try:
+                arr = np.load(io.BytesIO(self.rfile.read(n)),
+                              allow_pickle=False)
+                out = np.asarray(fn(arr))
+            except ValueError as e:
+                self._send(400, str(e).encode(), "text/plain")
+                return
+            buf = io.BytesIO()
+            np.save(buf, out, allow_pickle=False)
+            self._send(200, buf.getvalue(), "application/octet-stream")
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    httpd.artifact_manifest = fn.manifest
+    return httpd
+
+
+def serve_http(path: str, host: str = "0.0.0.0", port: int = 8000):
+    """Blocking entry: build the server and run it until interrupted
+    (``tpuseg serve --artifact model.tpuseg --port 8000``)."""
+    httpd = make_http_server(path, host, port)
+    print(f"tpuseg serving {path} on {host}:{httpd.server_address[1]} "
+          f"({len(httpd.artifact_manifest['entries'])} entries)", flush=True)
+    try:
+        httpd.serve_forever()
+    finally:
+        httpd.server_close()
