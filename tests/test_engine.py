@@ -311,6 +311,31 @@ def test_reduce_border_label_swap():
     assert oh[4, 0].tolist()[:2] == [1, 0]
 
 
+def test_run_batch_skips_asset_transfers(fake_cityscapes, tmp_path):
+    """need_assets=False must skip every full-res device->host transfer
+    while leaving the confusion matrix and val loss identical."""
+    from tpuseg.evaluation.inference import EvalRunner
+    from tpuseg.models import get_model
+
+    cfg = engine_cfg(fake_cityscapes, str(tmp_path))
+    model = get_model(cfg)
+    import jax
+    import jax.numpy as jnp
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    runner = EvalRunner(model, cfg.dataset.num_classes, scales=(1.0,),
+                        is_mscale=True)
+    batch = {"image": np.random.RandomState(0)
+             .randn(1, 32, 32, 3).astype(np.float32),
+             "label": np.zeros((1, 32, 32), np.int64), "name": ["x"]}
+    full, hist_full, _ = runner.run_batch(variables, batch)
+    lean, hist_lean, _ = runner.run_batch(variables, batch,
+                                          need_assets=False)
+    assert "predictions" in full and "err_mask" in full
+    assert "predictions" not in lean and "err_mask" not in lean
+    np.testing.assert_array_equal(hist_full, hist_lean)
+
+
 def test_boundary_fscore():
     from tpuseg.evaluation.f_boundary import db_eval_boundary
 

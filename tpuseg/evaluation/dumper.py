@@ -65,12 +65,17 @@ class ImageDumper:
         self.imgs_to_tensorboard = []
         self.imgs_to_webpage = []
 
+    def wants(self, val_idx: int) -> bool:
+        """Whether dump() will write anything for this batch index.
+        Callers use this to skip the device->host asset transfers
+        entirely on batches that won't be dumped."""
+        if self.dump_for_auto_labelling or self.dump_for_submission:
+            return True
+        return self.dump_all_images or (val_idx % self.viz_frequency == 0)
+
     def dump(self, dump_dict: dict, val_idx: int, testing: bool = False):
         """(reference: utils/misc.py:279-386)"""
-        if self.dump_for_auto_labelling or self.dump_for_submission:
-            pass
-        elif not (self.dump_all_images or
-                  (val_idx % self.viz_frequency == 0)):
+        if not self.wants(val_idx):
             return
 
         for idx in range(len(dump_dict["input_images"])):

@@ -152,7 +152,8 @@ class EvalRunner:
                        constant_values=self.ignore_label)
         return image, label, (h, w)
 
-    def run_batch(self, variables, batch, calc_metrics: bool = True):
+    def run_batch(self, variables, batch, calc_metrics: bool = True,
+                  need_assets: bool = True):
         image = np.asarray(batch["image"])
         label = np.asarray(batch["label"])
         orig_hw = None
@@ -171,24 +172,27 @@ class EvalRunner:
                       v.shape[1] >= h and v.shape[2] >= w else v
                       for k, v in assets.items()}
             label = label[:, :h, :w]
-        pred_np = np.asarray(pred)
-        out = {
-            "predictions": pred_np,
-            "prob_mask": np.asarray(prob),
-        }
+        out = {}
         if scale_hists:
             # per-outer-scale confusion matrices; callers accumulate these
             # for the iU_{scale} breakdown (not an image asset)
             out["scale_hists"] = {s: np.asarray(v)
                                   for s, v in scale_hists.items()}
-        for k, v in assets.items():
-            out[k] = np.asarray(v)
+        if need_assets:
+            # full-resolution device->host transfers (pred/prob/attention
+            # maps, ~tens of MB per image) — callers pass
+            # need_assets=False on batches the dumper will skip
+            # (dumper.wants), keeping metrics-only eval on-device
+            pred_np = np.asarray(pred)
+            out["predictions"] = pred_np
+            out["prob_mask"] = np.asarray(prob)
+            for k, v in assets.items():
+                out[k] = np.asarray(v)
+            if calc_metrics:
+                out["err_mask"] = calc_err_mask_all(
+                    pred_np, np.asarray(batch["label"]),
+                    self.num_classes, self.ignore_label)
         val_loss = None
-        if calc_metrics:
-            gt = np.asarray(batch["label"])
-            out["err_mask"] = calc_err_mask_all(pred_np, gt,
-                                                self.num_classes,
-                                                self.ignore_label)
-            if self.criterion is not None:
-                val_loss = float(self.criterion(output, label))
+        if calc_metrics and self.criterion is not None:
+            val_loss = float(self.criterion(output, label))
         return out, np.asarray(hist), val_loss

@@ -310,17 +310,20 @@ class Trainer:
         for val_idx, batch in enumerate(self.val_loader):
             if cfg.train.test_mode and val_idx >= 5:
                 break
+            need = dumper.wants(val_idx)
             assets, hist, loss = runner.run_batch(variables, batch,
-                                                  calc_metrics)
+                                                  calc_metrics,
+                                                  need_assets=need)
             total_hist += hist
             for s, sh in assets.get("scale_hists", {}).items():
                 scale_hists[s] = scale_hists.get(s, 0) + sh
             if loss is not None:
                 val_loss.update(loss, 1)
-            dumper.dump({"input_images": batch["image"],
-                         "gt_images": batch["label"],
-                         "img_names": batch["name"],
-                         "assets": assets}, val_idx)
+            if need:
+                dumper.dump({"input_images": batch["image"],
+                             "gt_images": batch["label"],
+                             "img_names": batch["name"],
+                             "assets": assets}, val_idx)
             if val_idx % 20 == 0:
                 self.logger.msg(f"validating [{val_idx}/"
                                 f"{len(self.val_loader)}]")
@@ -455,14 +458,17 @@ def evaluate_only(cfg: Config, logdir: str = "logs",
     for val_idx, batch in enumerate(val_loader):
         if cfg.train.test_mode and val_idx >= 5:
             break
-        assets, hist, _ = runner.run_batch(variables, batch, calc_metrics)
+        need = dumper.wants(val_idx)
+        assets, hist, _ = runner.run_batch(variables, batch, calc_metrics,
+                                           need_assets=need)
         total_hist += hist
         for s, sh in assets.get("scale_hists", {}).items():
             scale_hists[s] = scale_hists.get(s, 0) + sh
-        dumper.dump({"input_images": batch["image"],
-                     "gt_images": batch["label"],
-                     "img_names": batch["name"],
-                     "assets": assets}, val_idx)
+        if need:
+            dumper.dump({"input_images": batch["image"],
+                         "gt_images": batch["label"],
+                         "img_names": batch["name"],
+                         "assets": assets}, val_idx)
         if val_idx % 20 == 0:
             logger.msg(f"eval [{val_idx}/{len(val_loader)}]")
     dumper.write_summaries(logger, 0)
