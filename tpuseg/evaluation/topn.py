@@ -44,7 +44,10 @@ def validate_topn(val_loader, runner: EvalRunner, variables,
     for val_idx, batch in enumerate(val_loader):
         if max_images and val_idx >= max_images:
             break
-        _, hist, _ = runner.run_batch(variables, batch, calc_metrics=False)
+        # scoring needs only the confusion matrix — skip the full-res
+        # asset readbacks (4.4x/batch, see EvalRunner.run_batch)
+        _, hist, _ = runner.run_batch(variables, batch, calc_metrics=False,
+                                      need_assets=False)
         fp, fn = metrics_per_image(hist)
         image_metrics[batch["name"][0]] = (fp, fn)
         total_hist += hist
