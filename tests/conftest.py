@@ -26,3 +26,17 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.RandomState(1234)
+
+
+def tree_l1_rel(a, b) -> float:
+    """L1-relative distance over ALL leaves of two pytrees (the CLAUDE.md
+    gradient-comparison metric: per-leaf max-relative blows up on
+    near-zero leaves)."""
+    la = jax.tree.leaves(a)
+    lb = jax.tree.leaves(b)
+    assert len(la) == len(lb), (len(la), len(lb))
+    num = sum(float(np.abs(np.asarray(x, np.float64)
+                           - np.asarray(y, np.float64)).sum())
+              for x, y in zip(la, lb))
+    den = sum(float(np.abs(np.asarray(y, np.float64)).sum()) for y in lb)
+    return num / (den + 1e-12)

@@ -120,9 +120,9 @@ def test_centroid_extraction_math(tmp_path):
 
 
 def test_random_size_and_crop_centroid_contained():
-    rng = random.Random(0)
     img = Image.new("RGB", (W, H))
     mask = Image.new("L", (W, H), 255)
+    mask.putpixel((200, 100), 7)  # marker AT the centroid
     t = RandomSizeAndCrop((64, 64), nopad=False, scale_min=1.0,
                           scale_max=1.0)
     for seed in range(20):
@@ -130,6 +130,9 @@ def test_random_size_and_crop_centroid_contained():
         _, m, scale = t(img, mask, r, centroid=(200, 100))
         assert m.size == (64, 64)
         assert scale == 1.0
+        # the named property: the centroid pixel is inside every crop
+        # (class-uniform sampling exists to guarantee exactly this)
+        assert (np.array(m) == 7).any(), seed
 
 
 def test_hflip_pairs():
@@ -237,7 +240,9 @@ def test_sharded_sampler():
               for s in range(4)]
     assert all(len(s) == 3 for s in shards)  # ceil(10/4) with pad
     flat = sorted(i for s in shards for i in s)
-    assert set(flat) <= set(range(10))
+    # padded shards must collectively COVER the dataset (not merely stay
+    # in range): a sampler that drops indices starves training silently
+    assert set(flat) == set(range(10))
     # epoch changes the permutation
     s0 = ShardedEpochSampler(10, 4, 0, seed=1)
     e0 = list(s0)

@@ -143,10 +143,11 @@ def test_trainer_profile_steps(fake_cityscapes, tmp_path):
                                        max_epoch=1))
     trainer = Trainer(cfg, logdir=logdir)
     trainer.train_epoch(0)
-    # a trace dir with at least one .trace/.pb artifact was written
-    found = glob.glob(os.path.join(logdir, "trace", "**", "*"),
-                      recursive=True)
-    assert found, "no profiler trace written"
+    # at least one trace FILE was written (bare directories also match
+    # `**/*`, and start_trace creates those before any artifact exists)
+    found = [p for p in glob.glob(os.path.join(logdir, "trace", "**", "*"),
+                                  recursive=True) if os.path.isfile(p)]
+    assert found, "no profiler trace artifact written"
 
 
 def test_eval_runner_avgpool_and_flip(fake_cityscapes, tmp_path):

@@ -106,3 +106,29 @@ def test_ce_gradient_flow(logits_labels):
     # ignored pixels contribute zero gradient
     mask = labels == 255
     np.testing.assert_array_equal(np.asarray(g)[mask], 0.0)
+
+
+def test_loss_factory_dispatch_all_types(rng):
+    """Every shipped loss_type builds through get_loss and produces a
+    finite scalar — a factory kwarg/config-field mismatch must fail here,
+    not at the first real training launch."""
+    import jax.numpy as _jnp
+
+    from tpuseg.config import make_config
+    from tpuseg.losses import get_loss
+
+    logits = _jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    labels = _jnp.asarray(rng.randint(0, C, (B, H, W)).astype(np.int32))
+    relaxed = _jnp.asarray(
+        np.eye(C + 1, dtype=np.uint8)[np.asarray(labels)])
+
+    for loss_type in ("ce", "img_wt", "rmi", "relaxed"):
+        cfg = make_config({"loss.loss_type": loss_type,
+                           "dataset.num_classes": C})
+        crit, val_crit = get_loss(cfg)
+        target = relaxed if loss_type == "relaxed" else labels
+        v = float(crit(logits, target))
+        assert np.isfinite(v), (loss_type, v)
+        assert np.isfinite(float(val_crit(logits, labels))), loss_type
+        if loss_type == "rmi":  # the do_rmi=False aux path too
+            assert np.isfinite(float(crit(logits, labels, do_rmi=False)))

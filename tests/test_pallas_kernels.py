@@ -35,6 +35,41 @@ def test_fused_attention_bf16(rng):
                                rtol=5e-2, atol=5e-2)
 
 
+def test_model_use_pallas_matches_xla_path(rng):
+    """INTEGRATION: ObjectAttention with use_pallas=True produces the
+    same output as the XLA einsum path from the same variables — pins
+    the kernel to the model's real attention math (scaling, f32 softmax,
+    reshapes), not just to its sibling reference function."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.models.ocr import ObjectAttention
+
+    x = jnp.asarray(rng.randn(2, 8, 16, 32).astype(np.float32))
+    proxy = jnp.asarray(rng.randn(2, 19, 32).astype(np.float32))
+    mods = {}
+    outs = {}
+    for flag in (False, True):
+        m = ObjectAttention(key_channels=16, out_channels=32,
+                            use_pallas=flag, dtype=jnp.float32)
+        mods[flag] = m
+    variables = mods[False].init(jax.random.PRNGKey(0), x, proxy,
+                                 train=False)
+    for flag, m in mods.items():
+        outs[flag] = np.asarray(m.apply(variables, x, proxy, train=False))
+    np.testing.assert_allclose(outs[True], outs[False],
+                               rtol=1e-4, atol=1e-4)
+    # and in train mode the pallas flag must NOT change the path
+    # (no custom_vjp — training always takes the differentiable einsum)
+    def loss(v):
+        out, _ = mods[True].apply(v, x, proxy, train=True,
+                                  mutable=["batch_stats"])
+        return jnp.mean(out)
+    g = jax.grad(loss)(variables)
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree.leaves(g))
+
+
 def test_softmax_masks_padded_keys(rng):
     """The kernel zero-pads K to 128 lanes, so a padded slot's sim is
     exactly 0 and an UNMASKED softmax would hand it exp(0)=1 of mass —

@@ -114,3 +114,42 @@ def test_rmi_near_singular_stability(rng):
     g = jax.grad(lambda lg: rmi_loss(lg, jnp.asarray(labels),
                                      num_classes=C))(jnp.asarray(logits))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_rmi_matches_real_reference_module(inputs):
+    """Oracle = the ACTUAL importable reference RMILoss (loss/rmi.py),
+    not a transcription: a shared misreading of the reference math by
+    implementation and test author cannot pass this one. CPU-only shims:
+    apex/runx stubs (tools/torch_reference.install_stubs) and
+    torch.cuda.DoubleTensor -> torch.DoubleTensor (rmi.py:171-172 is the
+    reference's only CUDA-typed line)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    sys.path.insert(0, "/root/reference")
+    from torch_reference import install_stubs
+    install_stubs()
+    import torch
+    torch.cuda.DoubleTensor = torch.DoubleTensor  # CPU shim
+    from loss.rmi import RMILoss
+
+    logits_np, labels_np = inputs
+    crit = RMILoss(num_classes=C, rmi_radius=RADIUS, rmi_pool_way=1,
+                   rmi_pool_size=POOL, rmi_pool_stride=POOL,
+                   ignore_index=255)
+    want = float(crit(
+        torch.from_numpy(logits_np).permute(0, 3, 1, 2).float(),
+        torch.from_numpy(labels_np).long()))
+    got = float(rmi_loss(jnp.asarray(logits_np), jnp.asarray(labels_np),
+                         num_classes=C, radius=RADIUS, pool_size=POOL))
+    assert abs(got - want) < 5e-3 * max(1.0, abs(want)), (got, want)
+
+    # aux path (do_rmi=False -> BCE-only) against the real module too
+    want_bce = float(crit(
+        torch.from_numpy(logits_np).permute(0, 3, 1, 2).float(),
+        torch.from_numpy(labels_np).long(), do_rmi=False))
+    got_bce = float(rmi_loss(jnp.asarray(logits_np),
+                             jnp.asarray(labels_np), num_classes=C,
+                             radius=RADIUS, pool_size=POOL, do_rmi=False))
+    assert abs(got_bce - want_bce) < 1e-3 * max(1.0, abs(want_bce))

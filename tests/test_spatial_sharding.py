@@ -127,7 +127,8 @@ def test_spatial_train_step_matches(model_and_vars):
 
     np.testing.assert_allclose(float(m_sp["loss"]), float(m_ref["loss"]),
                                rtol=1e-5)
-    a = jax.tree.leaves(s_sp.params)[0]
-    b = jax.tree.leaves(s_ref.params)[0]
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                               rtol=1e-4, atol=1e-5)
+    # ALL param leaves, not just the first: a halo/collective bug in a
+    # deeper strided conv must not slip through
+    from conftest import tree_l1_rel
+    assert tree_l1_rel(s_sp.params, s_ref.params) < 1e-5
+    assert tree_l1_rel(s_sp.batch_stats, s_ref.batch_stats) < 1e-5

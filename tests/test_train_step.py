@@ -79,11 +79,12 @@ def test_mesh_train_step_8way(setup):
         state0, jax.tree.map(jnp.asarray, batch), jax.random.PRNGKey(0))
     np.testing.assert_allclose(float(metrics["loss"]),
                                float(metrics1["loss"]), rtol=1e-5)
-    # params agree after one step (global batch stats == sync BN semantics)
-    a = jax.tree.leaves(state.params)[0]
-    b = jax.tree.leaves(state1.params)[0]
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                               rtol=1e-4, atol=1e-5)
+    # ALL params + BN stats agree after one step (global batch stats ==
+    # sync BN semantics) — first-leaf-only would miss a reduction bug in
+    # any later layer
+    from conftest import tree_l1_rel
+    assert tree_l1_rel(state.params, state1.params) < 1e-5
+    assert tree_l1_rel(state.batch_stats, state1.batch_stats) < 1e-5
 
 
 def test_eval_step_hist(setup):
@@ -107,6 +108,61 @@ def test_poly_schedule_epoch_quantized(setup):
     # epoch-granular (reference uses per-epoch LambdaLR)
     assert sched(0) == sched(9)
     assert sched(10) < sched(9)
+
+
+def test_poly_and_poly2_match_reference_lambda():
+    """Value oracles against the reference's own lambdas
+    (loss/optimizer.py:60-75): poly = lr*(1-epoch/max)^exp; poly2 doubles
+    the exponent after poly_step. Jit/unjit-only checks are self-oracles
+    and would not catch a wrong formula."""
+    import math
+
+    from tpuseg.train.optim import make_schedule
+
+    poly = make_schedule(make_config({
+        "optim.lr": 0.02, "optim.lr_schedule": "poly",
+        "optim.poly_exp": 2.0, "train.max_epoch": 40}), steps_per_epoch=7)
+    for epoch in [0, 1, 13, 39]:
+        want = 0.02 * math.pow(1 - epoch / 40, 2.0)
+        assert abs(float(poly(epoch * 7)) - want) < 1e-9, epoch
+
+    poly2 = make_schedule(make_config({
+        "optim.lr": 0.02, "optim.lr_schedule": "poly2",
+        "optim.poly_exp": 2.0, "optim.poly_step": 20,
+        "train.max_epoch": 40}), steps_per_epoch=7)
+    for epoch in [0, 5, 19, 20, 30, 39]:
+        exp = 2.0 if epoch < 20 else 4.0
+        want = 0.02 * math.pow(1 - epoch / 40, exp)
+        assert abs(float(poly2(epoch * 7)) - want) < 1e-9, epoch
+
+
+def test_train_step_bf16_default_dtype():
+    """One train step at the SHIPPED default compute dtype (bfloat16):
+    the f32-forced suite would otherwise never exercise bf16 promotion
+    or the f32 islands under grad."""
+    cfg = make_config({
+        "model.arch": "ocrnet.HRNet_Mscale_Tiny",
+        "model.remat": False,
+        "dataset.num_classes": 19,
+        "dataset.crop_size": (32, 32),
+        "train.batch_size": 2,
+        "loss.loss_type": "rmi",   # the SOTA loss, incl. f32 cholesky
+    })
+    assert cfg.model.compute_dtype == "bfloat16"  # shipped default
+    model = get_model(cfg)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=10)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 3), jnp.bfloat16))
+    criterion, _ = get_loss(cfg)
+    step = jax.jit(make_train_step(model, criterion,
+                                   ocr_alpha=cfg.loss.ocr_alpha))
+    batch = jax.tree.map(jnp.asarray, _batch(cfg, 2))
+    for i in range(2):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(metrics["loss"])), i
+    # params stay f32 (bf16 compute / f32 params convention)
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(state.params))
 
 
 @pytest.mark.parametrize("arch", ["deepv3.DeepV3PlusW38Tiny",

@@ -70,7 +70,13 @@ def fused_object_attention(q: jnp.ndarray, key: jnp.ndarray,
                            ) -> jnp.ndarray:
     """q: (B, N, d) pixel queries; key/val: (B, K, d) class proxies.
     Returns (B, N, d) context, f32-accumulated, in q.dtype.
+
+    On cpu/gpu backends the kernel runs in interpret mode automatically,
+    so callers (the SpatialOCR use_pallas path) behave identically on
+    every backend and the integration is testable without a TPU.
     """
+    if jax.default_backend() in ("cpu", "gpu"):
+        interpret = True
     b, n, d = q.shape
     k = key.shape[1]
     assert k <= LANES, f"class axis {k} > {LANES} not supported"

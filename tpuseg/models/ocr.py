@@ -85,9 +85,9 @@ class ObjectAttention(nn.Module):
         # fused path is inference-only: the Pallas kernel has no
         # custom_vjp, so value_and_grad in the train step cannot
         # differentiate through it — training always takes the XLA
-        # einsum path (which XLA fuses well anyway)
-        if (self.use_pallas and not train
-                and jax.default_backend() not in ("cpu", "gpu")):
+        # einsum path (which XLA fuses well anyway). The kernel itself
+        # falls back to interpret mode on cpu/gpu, so no backend gate.
+        if self.use_pallas and not train:
             from tpuseg.kernels.ocr_attention import fused_object_attention
 
             context = fused_object_attention(q, key, val)
