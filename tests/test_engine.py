@@ -174,6 +174,21 @@ def test_eval_runner_avgpool_and_flip(fake_cityscapes, tmp_path):
     assert "err_mask" in assets
 
 
+def test_batched_validation_matches_bs1(fake_cityscapes, tmp_path):
+    """eval.batch_size (reference --bs_val): the confusion matrix is
+    additive over images, so batched eval must reproduce bs=1 metrics
+    bit-for-bit on a fixed-resolution val set."""
+    from tpuseg.train.loop import evaluate_only
+
+    base = engine_cfg(fake_cityscapes, str(tmp_path))
+    m1 = evaluate_only(base, logdir=str(tmp_path / "bs1"))
+    cfg2 = base.replace(eval=dataclasses.replace(base.eval, batch_size=2))
+    m2 = evaluate_only(cfg2, logdir=str(tmp_path / "bs2"))
+    assert m1.mean_iou == m2.mean_iou
+    assert m1.acc == m2.acc
+    np.testing.assert_array_equal(np.asarray(m1.iou), np.asarray(m2.iou))
+
+
 def test_evaluate_only_with_dumps(fake_cityscapes, tmp_path):
     from tpuseg.train.loop import evaluate_only
 

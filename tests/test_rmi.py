@@ -2,6 +2,8 @@
 (SURVEY §7 hard part #2)."""
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.oracle  # torch-reference tier (slow)
 import torch
 import torch.nn.functional as F
 

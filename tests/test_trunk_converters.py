@@ -16,6 +16,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.oracle  # torch-reference tier (slow)
+
 import jax
 import jax.numpy as jnp
 

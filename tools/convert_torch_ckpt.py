@@ -269,6 +269,23 @@ def _xception_torch_prefix(p: str) -> str | None:
     return None
 
 
+def _efficientnet_torch_prefix(p: str) -> str | None:
+    """flax EfficientNetB4 (tpuseg/models/efficientnet.py) -> timm/geffnet
+    efficientnet_b4 checkpoint naming (conv_stem/bn1/blocks.{s}.{b}.*).
+    No in-env numerics oracle exists: the reference's own efficientnet_b4
+    path is dead code (network/utils.py:102-141 has no branch for it) and
+    geffnet/timm are not installed — this map is written to the published
+    naming convention so released weights convert mechanically."""
+    if p in ("conv_stem", "bn1"):
+        return p
+    m = re.match(r"blocks_(\d+)_(\d+)/(.+)$", p)
+    if m:
+        s, b, rest = m.groups()
+        rest = rest.replace("se/", "se.")
+        return f"blocks.{s}.{b}.{rest}"
+    return None
+
+
 def _aspp_torch_prefix(p: str) -> str | None:
     """flax ASPP (tpuseg/models/heads.py) -> reference
     AtrousSpatialPyramidPoolingModule (network/utils.py:162-218):
@@ -327,6 +344,7 @@ TRUNK_KEY_FNS = {
     "seresnext-50": _seresnext_torch_prefix,
     "seresnext-101": _seresnext_torch_prefix,
     "xception71": _xception_torch_prefix,
+    "efficientnet_b4": _efficientnet_torch_prefix,
     # HRNet ImageNet checkpoint uses the seg-model keys without the
     # 'backbone.' prefix ('model.'/'last_layer' remaps happen in
     # _strip_prefixes, matching hrnetv2.py:467-469)

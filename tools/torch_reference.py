@@ -211,6 +211,100 @@ def state_dict_numpy(net) -> dict:
             "running" in k}
 
 
+def randomize_bn(net, seed: int = 0):
+    """Give every BatchNorm distinguishable affine params and running stats
+    before dumping (VERDICT r2 weak #1): at torch init weight=1, bias=0,
+    running_mean=0, running_var=1, so a converter that swapped scale<->var
+    (both all-ones) or bias<->mean (both zeros) would pass every parity
+    test and silently corrupt real trained checkpoints. Randomizing makes
+    the dumped forward outputs sensitive to each of the four BN leaves
+    individually (tests/test_torch_parity.py proves it by mutation)."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed + 7777)
+    for mod in net.modules():
+        if isinstance(mod, torch.nn.modules.batchnorm._BatchNorm):
+            with torch.no_grad():
+                if mod.weight is not None:
+                    mod.weight.uniform_(0.5, 1.5, generator=g)
+                if mod.bias is not None:
+                    mod.bias.uniform_(-0.5, 0.5, generator=g)
+                if mod.running_mean is not None:
+                    mod.running_mean.uniform_(-0.5, 0.5, generator=g)
+                if mod.running_var is not None:
+                    mod.running_var.uniform_(0.5, 1.5, generator=g)
+
+
+def zero_dropout(net):
+    """Deterministic train-mode forward: torch and flax draw dropout masks
+    from different RNGs, so train parity is only comparable with dropout
+    off (rate 0, still train-mode BN)."""
+    import torch
+
+    for mod in net.modules():
+        if isinstance(mod, (torch.nn.Dropout, torch.nn.Dropout2d)):
+            mod.p = 0.0
+
+
+def train_dump(args):
+    """Dump the reference TRAIN computation for one step: two-scale train
+    forward (network/ocrnet.py:264-318 train branch) + criterion
+    composition (loss = OCR_ALPHA*aux + main, ocrnet.py:300-311) +
+    backward. Saved artifacts: pre-step state_dict, input/labels, loss
+    scalar, per-parameter gradients, and the post-forward BN running stats
+    (torch updates them inside the train forward, once per _fwd pass)."""
+    import numpy as np
+    import torch
+
+    net, cfg = build_reference_model(args.arch, args.num_classes, None,
+                                     args.seed)
+    randomize_bn(net, args.seed)
+    zero_dropout(net)
+
+    if args.criterion == "rmi":
+        from loss.rmi import RMILoss
+
+        criterion = RMILoss(num_classes=args.num_classes,
+                            ignore_index=cfg.DATASET.IGNORE_LABEL)
+    else:
+        from loss.utils import CrossEntropyLoss2d
+
+        criterion = CrossEntropyLoss2d(
+            ignore_index=cfg.DATASET.IGNORE_LABEL)
+    net.criterion = criterion
+    net.train()
+
+    os.makedirs(args.out, exist_ok=True)
+    np.savez(os.path.join(args.out, "state_dict.npz"),
+             **state_dict_numpy(net))
+
+    rng = np.random.RandomState(args.seed)
+    x_np = rng.uniform(-2.0, 2.0,
+                       (args.batch, 3, args.height,
+                        args.width)).astype(np.float32)
+    gts_np = rng.randint(0, args.num_classes,
+                         (args.batch, args.height,
+                          args.width)).astype(np.int64)
+    # ~10% ignore pixels exercise the valid-mask paths of every loss
+    ignore = rng.uniform(size=gts_np.shape) < 0.1
+    gts_np[ignore] = cfg.DATASET.IGNORE_LABEL
+
+    loss = net({"images": torch.from_numpy(x_np),
+                "gts": torch.from_numpy(gts_np)})
+    loss.backward()
+
+    grads = {name: p.grad.detach().numpy()
+             for name, p in net.named_parameters() if p.grad is not None}
+    post_stats = {k: v.detach().numpy()
+                  for k, v in net.state_dict().items() if "running_" in k}
+    np.savez(os.path.join(args.out, "train.npz"),
+             x=x_np, gts=gts_np, loss=np.float64(loss.item()))
+    np.savez(os.path.join(args.out, "grads.npz"), **grads)
+    np.savez(os.path.join(args.out, "post_stats.npz"), **post_stats)
+    print(f"dumped train step ({args.criterion}) to {args.out}: "
+          f"loss={loss.item():.6f}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -223,13 +317,24 @@ def main():
                     help="dump a bare trunk (state_dict in pretrained-file "
                          "naming + (s2, s4, high) forward outputs) instead "
                          "of the full model")
+    ap.add_argument("--train-dump", action="store_true",
+                    help="dump a TRAIN step (fwd+bwd): loss, gradients, "
+                         "post-forward BN running stats")
+    ap.add_argument("--criterion", default="rmi", choices=["rmi", "ce"],
+                    help="criterion for --train-dump")
+    ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
     import numpy as np
     import torch
 
+    if args.train_dump:
+        train_dump(args)
+        return
+
     if args.trunk:
         net = build_reference_trunk(args.trunk, args.seed)
+        randomize_bn(net, args.seed)
         os.makedirs(args.out, exist_ok=True)
         np.savez(os.path.join(args.out, "state_dict.npz"),
                  **trunk_state_dict_numpy(args.trunk, net))
@@ -248,6 +353,7 @@ def main():
 
     net, cfg = build_reference_model(args.arch, args.num_classes, None,
                                      args.seed)
+    randomize_bn(net, args.seed)
     os.makedirs(args.out, exist_ok=True)
     np.savez(os.path.join(args.out, "state_dict.npz"),
              **state_dict_numpy(net))

@@ -82,6 +82,9 @@ class OCRConfig:
 
     mid_channels: int = 512
     key_channels: int = 256
+    # SpatialOCR bottleneck dropout (reference: ocrnet.py:64, 0.05); the
+    # train-parity oracle sets 0 for a deterministic comparison
+    dropout: float = 0.05
 
 
 @dataclass(frozen=True)
@@ -216,6 +219,13 @@ class EvalConfig:
     """Inference-time options (reference: utils/trnval_utils.py:82-198)."""
 
     scales: Sequence[float] = (0.5, 1.0, 2.0)
+    # validation batch size (reference --bs_val, train.py / datasets/
+    # __init__.py:192). >1 requires a fixed-resolution val set (Cityscapes:
+    # 1024x2048) so batches stack; metrics are bit-identical to bs=1 (the
+    # confusion matrix is additive over images) while amortizing per-batch
+    # dispatch through the device relay. Keep 1 for variable-size val
+    # (Mapillary without eval.pad_multiple).
+    batch_size: int = 1
     do_flip: bool = False
     # extra avg-pooled scales applied *outside* the attention fusion
     extra_scales: Sequence[float] = ()

@@ -137,7 +137,8 @@ def setup_data(cfg: Config, eval_mode: Optional[str] = None,
         train_loader = BatchLoader(train_set, cfg.train.batch_size,
                                    shuffle=True, drop_last=True,
                                    num_workers=d.num_workers)
-        val_loader = BatchLoader(val_set, 1, num_workers=2)
+        val_loader = BatchLoader(val_set, cfg.eval.batch_size,
+                                 num_workers=2)
         return train_loader, val_loader, train_set
 
     val_name = {"val": "val", None: "val", "trn": "train",
@@ -149,7 +150,10 @@ def setup_data(cfg: Config, eval_mode: Optional[str] = None,
         eval_folder=d.eval_folder, seed=seed, is_primary=is_primary)
     val_sampler = ShardedEpochSampler(len(val_set), num_shards, shard,
                                       shuffle=False, pad=False, seed=seed)
-    val_loader = BatchLoader(val_set, 1, sampler=val_sampler,
+    # batched validation (reference --bs_val): requires fixed-res val
+    # images; the final ragged batch compiles one extra eval graph
+    val_loader = BatchLoader(val_set, cfg.eval.batch_size,
+                             sampler=val_sampler,
                              num_workers=max(1, d.num_workers // 2))
 
     if eval_mode is not None:

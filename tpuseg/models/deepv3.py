@@ -118,6 +118,12 @@ def DeepV3PlusX71(cfg):
     return DeepV3Plus(trunk="xception71", **_kw(cfg))
 
 
+def DeepV3PlusEffB4(cfg):
+    """(reference: deepv3.py:121-123 — dead code there: get_trunk has no
+    efficientnet_b4 branch; working flax trunk here)"""
+    return DeepV3Plus(trunk="efficientnet_b4", **_kw(cfg))
+
+
 def DeepWV3Plus(cfg):
     """Alias used by several recipes (reference README: deepv3.DeepWV3Plus)."""
     return DeepV3Plus(trunk="wrn38", **_kw(cfg))

@@ -28,10 +28,73 @@ hrnet_normal = nn.initializers.normal(stddev=0.001)
 Dtype = Any
 
 
+class TorchBatchNorm(nn.BatchNorm):
+    """flax BatchNorm with torch's running-variance semantics.
+
+    torch.nn.BatchNorm2d normalizes the batch with the BIASED variance but
+    updates ``running_var`` with the UNBIASED estimator (Bessel-corrected,
+    ``n/(n-1)``); flax updates with the biased one. The normalization path
+    (both train and eval) is bit-identical to ``nn.BatchNorm`` — only the
+    ``batch_stats`` update differs, which is what the train-parity oracle
+    (tests/test_train_parity.py) compares against the reference's
+    post-forward running stats."""
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None, *,
+                 mask=None):
+        from flax.linen import normalization as _n
+
+        use_running_average = nn.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average)
+        feature_axes = _n._canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(i for i in range(x.ndim)
+                               if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        stats_dtype = (jnp.float32 if self.force_float32_reductions
+                       else self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, stats_dtype),
+                                feature_shape)
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, stats_dtype),
+                               feature_shape)
+
+        if use_running_average:
+            mean = (ra_mean.value if self.force_float32_reductions
+                    else jnp.asarray(ra_mean.value, self.param_dtype))
+            var = (ra_var.value if self.force_float32_reductions
+                   else jnp.asarray(ra_var.value, self.param_dtype))
+        else:
+            mean, var = _n._compute_stats(
+                x, reduction_axes, dtype=self.dtype,
+                axis_name=(self.axis_name if not self.is_initializing()
+                           else None),
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance, mask=mask,
+                force_float32_reductions=self.force_float32_reductions)
+            if not self.is_initializing():
+                n = 1
+                for ax in reduction_axes:
+                    n *= x.shape[ax]
+                bessel = n / max(n - 1, 1)
+                ra_mean.value = (self.momentum * ra_mean.value +
+                                 (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value +
+                                (1 - self.momentum) * (var * bessel))
+
+        return _n._normalize(
+            self, x, mean, var, reduction_axes, feature_axes, self.dtype,
+            self.param_dtype, self.epsilon, self.use_bias, self.use_scale,
+            self.bias_init, self.scale_init, self.force_float32_reductions)
+
+
 class Norm(nn.Module):
     """Batch norm matching torch BatchNorm2d defaults
     (momentum 0.1 torch == 0.9 flax, eps 1e-5; reference: network/mynn.py:18-24,
-    hrnetv2.py:26)."""
+    hrnetv2.py:26). Running stats follow torch's unbiased-variance update
+    (TorchBatchNorm)."""
 
     momentum: float = 0.9
     epsilon: float = 1e-5
@@ -40,13 +103,19 @@ class Norm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.BatchNorm(
+        return TorchBatchNorm(
             use_running_average=not train,
             momentum=self.momentum,
             epsilon=self.epsilon,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             axis_name=self.axis_name,
+            # two-pass variance, as torch: E[(x-mu)^2] rather than
+            # E[x^2]-E[x]^2 — the fast form loses ~3 decimal digits when
+            # |mean| >> std and breaks train-path parity (the eval path
+            # never computes batch stats, so only training pays the extra
+            # channel reduction)
+            use_fast_variance=False,
             name="bn",
         )(x)
 

@@ -350,12 +350,29 @@ def DeepV3X71(cfg):
     return MscaleV3Plus(trunk="xception71", **_common(cfg))
 
 
+def DeepV3EffB4(cfg):
+    """(reference: mscale.py:349-351 — dead code there: get_trunk has no
+    efficientnet_b4 branch; working flax trunk here)"""
+    return MscaleV3Plus(trunk="efficientnet_b4", **_common(cfg))
+
+
+def DeepV3EffB4Fuse(cfg):
+    """(reference: mscale.py:354-357)"""
+    return MscaleV3Plus(trunk="efficientnet_b4", fuse_aspp=True,
+                        **_common(cfg))
+
+
 def DeeperW38(cfg):
     return MscaleDeeper(trunk="wrn38", **_common(cfg))
 
 
 def DeeperX71(cfg):
     return MscaleDeeper(trunk="xception71", **_common(cfg))
+
+
+def DeeperEffB4(cfg):
+    """(reference: mscale.py:445-447)"""
+    return MscaleDeeper(trunk="efficientnet_b4", **_common(cfg))
 
 
 def Basic(cfg):

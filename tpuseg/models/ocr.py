@@ -135,6 +135,7 @@ class OCRBlock(nn.Module):
     key_channels: int = 256
     use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
+    dropout: float = 0.05
 
     @nn.compact
     def __call__(self, high_level_features, train: bool = False):
@@ -155,6 +156,7 @@ class OCRBlock(nn.Module):
 
         context = spatial_gather(feats, aux_out)
         ocr_feats = SpatialOCR(self.key_channels, self.mid_channels,
+                               dropout=self.dropout,
                                use_pallas=self.use_pallas, dtype=self.dtype,
                                name="ocr_distri")(feats, context, train)
         cls_out = conv(self.num_classes, 1, use_bias=True, dtype=self.dtype,

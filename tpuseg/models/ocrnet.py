@@ -31,6 +31,7 @@ class OCRNet(nn.Module):
     spec: HRNetSpec = W48_SPEC
     mid_channels: int = 512
     key_channels: int = 256
+    ocr_dropout: float = 0.05
     align_corners: bool = False
     remat: bool = False
     use_pallas: bool = False
@@ -41,7 +42,8 @@ class OCRNet(nn.Module):
                                 self.dtype, name="backbone")
         self.ocr = OCRBlock(self.num_classes, self.mid_channels,
                             self.key_channels, self.use_pallas,
-                            self.dtype, name="ocr")
+                            self.dtype, dropout=self.ocr_dropout,
+                            name="ocr")
 
     def __call__(self, x, train: bool = False):
         _, _, high = self.backbone(x, train)
@@ -64,6 +66,7 @@ class OCRNetASPP(nn.Module):
     spec: HRNetSpec = W48_SPEC
     mid_channels: int = 512
     key_channels: int = 256
+    ocr_dropout: float = 0.05
     align_corners: bool = False
     remat: bool = False
     use_pallas: bool = False
@@ -79,7 +82,8 @@ class OCRNetASPP(nn.Module):
                                  dtype=self.dtype, name="aspp")
         self.ocr = OCRBlock(self.num_classes, self.mid_channels,
                             self.key_channels, self.use_pallas,
-                            self.dtype, name="ocr")
+                            self.dtype, dropout=self.ocr_dropout,
+                            name="ocr")
 
     def __call__(self, x, train: bool = False):
         _, _, high = self.backbone(x, train)
@@ -105,6 +109,7 @@ class MscaleOCR(nn.Module):
     spec: HRNetSpec = W48_SPEC
     mid_channels: int = 512
     key_channels: int = 256
+    ocr_dropout: float = 0.05
     n_scales: Sequence[float] = (0.5, 1.0, 2.0)
     lo_scale: float = 0.5
     align_corners: bool = False
@@ -126,7 +131,8 @@ class MscaleOCR(nn.Module):
                                 self.dtype, name="backbone")
         self.ocr = OCRBlock(self.num_classes, self.mid_channels,
                             self.key_channels, self.use_pallas,
-                            self.dtype, name="ocr")
+                            self.dtype, dropout=self.ocr_dropout,
+                            name="ocr")
         self.scale_attn = AttnHead(out_ch=1, bot_ch=self.attn_bot_ch,
                                    inner_3x3=self.attn_inner_3x3,
                                    dropout=self.attn_dropout,
@@ -164,6 +170,7 @@ def _common(cfg):
         num_classes=cfg.dataset.num_classes,
         mid_channels=cfg.model.ocr.mid_channels,
         key_channels=cfg.model.ocr.key_channels,
+        ocr_dropout=cfg.model.ocr.dropout,
         align_corners=cfg.model.align_corners,
         remat=cfg.model.remat,
         use_pallas=cfg.model.use_pallas,

@@ -50,6 +50,15 @@ def get_trunk(trunk_name: str, output_stride: int = 8, remat: bool = False,
         return (SEResNeXt((3, 4, 23, 3), output_stride=output_stride,
                           remat=remat, dtype=dtype, name="backbone"),
                 256, -1, 2048)
+    if trunk_name == "efficientnet_b4":
+        # the reference's own efficientnet_b4 path is DEAD CODE (get_trunk
+        # network/utils.py:102-141 has no such branch; its EffB4 factories
+        # raise at construction) — this working trunk goes beyond it
+        # (tpuseg/models/efficientnet.py docstring)
+        from tpuseg.models.efficientnet import EfficientNetB4
+
+        return (EfficientNetB4(output_stride, remat=remat, dtype=dtype,
+                               name="backbone"), 24, 32, 448)
     if trunk_name == "hrnetv2":
         return (HRNetV2(W48_SPEC, align_corners, remat, dtype,
                         name="backbone"), -1, -1, W48_SPEC.high_level_ch)

@@ -318,7 +318,7 @@ class Trainer:
             for s, sh in assets.get("scale_hists", {}).items():
                 scale_hists[s] = scale_hists.get(s, 0) + sh
             if loss is not None:
-                val_loss.update(loss, 1)
+                val_loss.update(loss, batch["image"].shape[0])
             if need:
                 dumper.dump({"input_images": batch["image"],
                              "gt_images": batch["label"],

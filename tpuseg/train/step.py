@@ -16,6 +16,44 @@ import jax.numpy as jnp
 from tpuseg.ops import scale_as
 
 
+def make_loss_fn(
+    model,
+    criterion: Callable,
+    ocr_alpha: float = 0.4,
+    aux_rmi: bool = False,
+    supervised_mscale_wt: float = 0.0,
+    align_corners: bool = False,
+):
+    """Train-mode forward + loss composition
+    (reference: ocrnet.py:300-319) as a pure function of
+    ``(params, batch_stats, batch, rng)`` -> ``(loss, mutated)``.
+
+    Factored out of :func:`make_train_step` so the train-parity oracle
+    (tests/test_train_parity.py) differentiates the EXACT production loss
+    against the torch reference's train step."""
+
+    def loss_fn(params, batch_stats, batch, rng):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], train=True,
+            mutable=["batch_stats"], rngs={"dropout": rng})
+        labels = batch["label"]
+        loss = criterion(out["pred"], labels, do_rmi=True)
+        # aux loss exists only for OCR-family models (reference:
+        # ocrnet.py:118,300-311); DeepV3/mscale return {'pred'} only
+        if "aux" in out:
+            loss = loss + ocr_alpha * criterion(
+                out["aux"], labels, do_rmi=aux_rmi)
+        if supervised_mscale_wt and "pred_05x" in out:
+            p05 = scale_as(out["pred_05x"], out["pred"], align_corners)
+            loss_lo = criterion(p05, labels, do_rmi=False)
+            loss_hi = criterion(out["pred_10x"], labels, do_rmi=False)
+            loss = loss + supervised_mscale_wt * (loss_lo + loss_hi)
+        return loss, mutated
+
+    return loss_fn
+
+
 def make_train_step(
     model,
     criterion: Callable,
@@ -26,31 +64,14 @@ def make_train_step(
 ):
     """Build the fused two-scale training step
     (loss composition per reference: ocrnet.py:300-319)."""
+    loss_fn = make_loss_fn(model, criterion, ocr_alpha, aux_rmi,
+                           supervised_mscale_wt, align_corners)
 
     def train_step(state, batch, dropout_rng):
         rng = jax.random.fold_in(dropout_rng, state.step)
-
-        def loss_fn(params):
-            out, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["image"], train=True,
-                mutable=["batch_stats"], rngs={"dropout": rng})
-            labels = batch["label"]
-            loss = criterion(out["pred"], labels, do_rmi=True)
-            # aux loss exists only for OCR-family models (reference:
-            # ocrnet.py:118,300-311); DeepV3/mscale return {'pred'} only
-            if "aux" in out:
-                loss = loss + ocr_alpha * criterion(
-                    out["aux"], labels, do_rmi=aux_rmi)
-            if supervised_mscale_wt and "pred_05x" in out:
-                p05 = scale_as(out["pred_05x"], out["pred"], align_corners)
-                loss_lo = criterion(p05, labels, do_rmi=False)
-                loss_hi = criterion(out["pred_10x"], labels, do_rmi=False)
-                loss = loss + supervised_mscale_wt * (loss_lo + loss_hi)
-            return loss, mutated
-
         (loss, mutated), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   batch, rng)
         new_state = state.apply_gradients(grads, mutated["batch_stats"])
         return new_state, {"loss": loss}
 
