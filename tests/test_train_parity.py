@@ -1,0 +1,160 @@
+"""TRAIN-path numerical parity vs the ACTUAL torch reference.
+
+The eval path is oracle-proven by tests/test_torch_parity.py; this module
+closes the remaining blind spot (VERDICT r2 item 1): the TRAINING
+computation. The reference ``ocrnet.HRNet_Mscale`` is built in train mode
+(dropout zeroed, BN randomized) in a subprocess, one train step is run on
+CPU — two-scale train forward (network/ocrnet.py:264-318), criterion
+composition ``loss = OCR_ALPHA*aux + main`` (ocrnet.py:300-311,
+train.py:491-507) and backward — and the dump must be reproduced by the
+production ``make_loss_fn`` (tpuseg/train/step.py) on the converted
+weights:
+
+- the scalar loss (CE tight; RMI at the proven f32-vs-f64 band of
+  tests/test_rmi.py — the reference runs the covariance/Cholesky chain in
+  float64, loss/rmi.py:171-172, which TPUs do not have);
+- the FULL gradient tree, compared with the L1-relative metric over all
+  leaves (per-leaf max-relative blows up on near-zero leaves);
+- the post-forward BN running stats: torch updates them inside the train
+  forward once per ``_fwd`` pass (lo then hi — sequential double update),
+  with the UNBIASED batch variance (momentum 0.1). Our Norm reproduces
+  exactly that (tpuseg/models/layers.py TorchBatchNorm).
+
+Gradients and running stats are converted with the SAME converter as the
+weights (the OIHW->HWIO transpose is a permutation, so it maps gradients
+identically), making this a second mutation-sensitive oracle over every
+converter key map.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.oracle  # torch-reference tier (slow)
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from convert_torch_ckpt import convert_state_dict  # noqa: E402
+
+H, W = 64, 128
+BATCH = 1  # the SOTA recipe trains bs=1/chip (scripts/train_cityscapes.yml)
+
+# RMI tolerances follow the established f32-vs-f64 agreement band
+# (tests/test_rmi.py:79,148); CE has no precision excuse.
+TOL = {
+    "ce": dict(loss_rel=1e-4, grad_l1=1e-3),
+    "rmi": dict(loss_rel=5e-3, grad_l1=5e-3),
+}
+
+
+@pytest.fixture(scope="module", params=["ce", "rmi"])
+def train_dump(request, tmp_path_factory):
+    crit = request.param
+    out = str(tmp_path_factory.mktemp(f"train_dump_{crit}"))
+    script = os.path.join(os.path.dirname(__file__), "..", "tools",
+                          "torch_reference.py")
+    subprocess.run(
+        [sys.executable, script, "--out", out, "--train-dump",
+         "--criterion", crit, "--height", str(H), "--width", str(W),
+         "--batch", str(BATCH), "--seed", "0"],
+        check=True, timeout=1200)
+    dump = {name: dict(np.load(os.path.join(out, f"{name}.npz")))
+            for name in ("state_dict", "train", "grads", "post_stats")}
+    return crit, dump
+
+
+@pytest.fixture(scope="module")
+def stepped(train_dump):
+    """Converted model + one differentiated production loss_fn call."""
+    crit_name, d = train_dump
+
+    from tpuseg.config import make_config
+    from tpuseg.losses.factory import get_loss
+    from tpuseg.models import get_model
+    from tpuseg.train.step import make_loss_fn
+
+    cfg = make_config({
+        "model.arch": "ocrnet.HRNet_Mscale",
+        "model.compute_dtype": "float32",
+        "model.remat": False,
+        "model.n_scales": (),
+        "model.ocr.dropout": 0.0,  # dump zeroes torch dropout likewise
+        "dataset.num_classes": 19,
+        "loss.loss_type": crit_name,
+    })
+    model = get_model(cfg)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3), jnp.float32))
+    params, stats = convert_state_dict(
+        d["state_dict"], variables["params"],
+        variables.get("batch_stats", {}), strict=True)
+
+    criterion, _ = get_loss(cfg)
+    loss_fn = make_loss_fn(
+        model, criterion, ocr_alpha=cfg.loss.ocr_alpha,
+        aux_rmi=cfg.loss.ocr_aux_rmi,
+        supervised_mscale_wt=cfg.loss.supervised_mscale_wt,
+        align_corners=cfg.model.align_corners)
+
+    batch = {
+        "image": jnp.asarray(np.transpose(d["train"]["x"], (0, 2, 3, 1))),
+        "label": jnp.asarray(d["train"]["gts"].astype(np.int32)),
+    }
+
+    @jax.jit
+    def run(params, stats):
+        (loss, mutated), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, stats, batch,
+                                   jax.random.PRNGKey(0))
+        return loss, mutated["batch_stats"], grads
+
+    loss, new_stats, grads = run(params, stats)
+    return crit_name, d, variables, float(loss), new_stats, grads
+
+
+def _l1_rel(got_tree, want_tree) -> float:
+    """Tree-wide L1-relative distance: sum|a-b| / sum|b| over all leaves."""
+    got, want = jax.tree.leaves(got_tree), jax.tree.leaves(want_tree)
+    assert len(got) == len(want) and got, (len(got), len(want))
+    num = sum(float(np.abs(np.asarray(a, np.float64)
+                           - np.asarray(b, np.float64)).sum())
+              for a, b in zip(got, want))
+    den = sum(float(np.abs(np.asarray(b, np.float64)).sum()) for b in want)
+    return num / max(den, 1e-30)
+
+
+def test_train_loss_parity(stepped):
+    """Production loss composition == reference train forward + criterion
+    (ocrnet.py:300-311: RMI(main, do_rmi=True) + 0.4*criterion(aux))."""
+    crit_name, d, _, loss, _, _ = stepped
+    want = float(d["train"]["loss"])
+    rel = abs(loss - want) / max(1.0, abs(want))
+    assert rel < TOL[crit_name]["loss_rel"], (loss, want, rel)
+
+
+def test_gradient_parity(stepped):
+    """Full gradient tree vs torch autograd through the same step."""
+    crit_name, d, variables, _, _, grads = stepped
+    want_grads, _ = convert_state_dict(
+        d["grads"], variables["params"], {}, strict=True,
+        log=lambda *a: None)
+    rel = _l1_rel(grads, want_grads)
+    assert rel < TOL[crit_name]["grad_l1"], f"grad L1-rel {rel:.3e}"
+
+
+def test_bn_running_stats_parity(stepped):
+    """Post-forward BN running stats: the two sequential train-mode _fwd
+    passes (0.5x then 1.0x) must leave every running_mean/var leaf where
+    torch leaves it — momentum convention, unbiased variance, two-pass
+    precision, and update ORDER all covered (independent of criterion)."""
+    crit_name, d, variables, _, new_stats, _ = stepped
+    _, want_stats = convert_state_dict(
+        d["post_stats"], {}, variables["batch_stats"], strict=True,
+        log=lambda *a: None)
+    rel = _l1_rel(new_stats, want_stats)
+    assert rel < 1e-5, f"BN running-stat L1-rel {rel:.3e}"
