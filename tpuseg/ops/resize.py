@@ -88,12 +88,22 @@ def _transpose_tables(in_size: int, out_size: int, align_corners: bool):
 def _lerp_axis_diff(x: jnp.ndarray, axis: int, out_size: int,
                     align_corners: bool, in_size: int):
     i0, i1, w1 = _gather_tables(in_size, out_size, align_corners)
+    # Gather in the INPUT dtype and upcast inside the elementwise fusion:
+    # the gathers are the only materialized buffers (XLA emits each as its
+    # own fusion output), so a bf16 chain allocates bf16 — not f32 —
+    # full-resolution temps. At the Mapillary eval shape the 2.0x-scale
+    # 65-class logit upsample is 2x ~4 GB in f32, the difference between
+    # fitting a 16 GB v5e and OOM (BENCH_mapillary.json); the lerp
+    # arithmetic itself stays float32 either way (the reference's own O3
+    # recipe runs the whole interpolate in fp16, README.md:73).
     x0 = jnp.take(x, jnp.asarray(i0), axis=axis)
     x1 = jnp.take(x, jnp.asarray(i1), axis=axis)
     shape = [1] * x.ndim
     shape[axis] = out_size
     w1 = jnp.asarray(w1).reshape(shape)
-    return x0 + (x1 - x0) * w1
+    x0f = x0.astype(jnp.float32)
+    y = x0f + (x1.astype(jnp.float32) - x0f) * w1
+    return y.astype(x.dtype)
 
 
 def _lerp_fwd(x, axis, out_size, align_corners, in_size):
@@ -106,10 +116,12 @@ def _lerp_bwd(axis, out_size, align_corners, in_size, _res, ct):
     shape[axis] = in_size
     acc = None
     for k in range(idx.shape[1]):
-        term = jnp.take(ct, jnp.asarray(idx[:, k]), axis=axis) * \
-            jnp.asarray(wts[:, k]).reshape(shape)
+        term = jnp.take(ct, jnp.asarray(idx[:, k]), axis=axis) \
+            .astype(jnp.float32) * jnp.asarray(wts[:, k]).reshape(shape)
         acc = term if acc is None else acc + term
-    return (acc,)
+    # tangent dtype must match the primal's (which may be bf16 at eval;
+    # every train-path resize is an f32 island, so grads lose nothing)
+    return (acc.astype(ct.dtype),)
 
 
 _lerp_axis_diff.defvjp(_lerp_fwd, _lerp_bwd)
@@ -129,16 +141,17 @@ def resize_bilinear(
     """Bilinear resize of NHWC (or HWC) ``x`` to ``size=(H, W)``.
 
     Bit-matches ``torch.nn.functional.interpolate(mode='bilinear')`` on the
-    same input (see tests/test_resize.py). Computation is float32.
+    same input (see tests/test_resize.py). Lerp arithmetic is float32; the
+    materialized per-axis buffers keep the input dtype (f32 inputs — every
+    parity-critical island — are therefore pure-f32 end to end, while bf16
+    fusion chains allocate bf16 temps; see _lerp_axis_diff).
     """
     out_h, out_w = int(size[0]), int(size[1])
-    orig_dtype = x.dtype
     h_axis = x.ndim - 3
     w_axis = x.ndim - 2
-    y = x.astype(jnp.float32)
-    y = _lerp_axis(y, h_axis, out_h, align_corners)
+    y = _lerp_axis(x, h_axis, out_h, align_corners)
     y = _lerp_axis(y, w_axis, out_w, align_corners)
-    return y.astype(orig_dtype)
+    return y
 
 
 def resize_nearest(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:

@@ -50,12 +50,20 @@ def spatial_sharding(mesh: Mesh, data_axis: str = "data",
     for whole-image crops (bs=1/chip at 1024x2048) or >2x-scale / 8k-class
     imagery that won't fit one chip's HBM.
 
-    KNOWN XLA BUG (jax 0.9.0): on a >=2D mesh, the KERNEL GRADIENT of a
-    strided conv with H sharded on the non-leading mesh axis is silently
-    wrong (minimal repro in tests/test_spatial_sharding.py; 1D meshes and
-    all forward passes are exact). Until fixed upstream, use spatial
-    sharding for inference on any mesh, and for TRAINING only on a pure-
-    spatial 1D mesh.
+    KNOWN XLA BUG (jax 0.9.0), precisely delimited: the KERNEL GRADIENT
+    of a strided conv is silently wrong when the operand is REPLICATED
+    over one mesh axis while H is sharded over another (e.g.
+    ``P(None, model)`` on a 2D mesh) — the partial-replication reduction
+    is mis-emitted. The sharding this function returns —
+    ``P(data, model)``, batch genuinely sharded over ``data`` — is EXACT
+    on 2D meshes, gradients included (full train-step proof:
+    tests/test_spatial_sharding.py::test_spatial_train_step_2d_mesh;
+    the broken batch-replicated case is pinned by the canary
+    ``test_strided_conv_grad_batch_replicated_xla_bug``). Therefore
+    dp x sp TRAINING is supported whenever the global batch is a
+    multiple of the ``data`` axis size (bs>=1 per data-replica); only a
+    batch-replicated H-sharded layout (batch smaller than the data
+    axis) remains inference-only.
     """
     return NamedSharding(mesh, P(data_axis, model_axis))
 
