@@ -70,6 +70,131 @@ def test_model_use_pallas_matches_xla_path(rng):
                for l in jax.tree.leaves(g))
 
 
+def _bottleneck_weights(rng, c, m):
+    w1 = rng.randn(c, m).astype(np.float32) * 0.1
+    b1 = rng.randn(m).astype(np.float32) * 0.1
+    w2 = rng.randn(9, m, m).astype(np.float32) * 0.1
+    b2 = rng.randn(m).astype(np.float32) * 0.1
+    w3 = rng.randn(m, c).astype(np.float32) * 0.1
+    b3 = rng.randn(c).astype(np.float32) * 0.1
+    return tuple(jnp.asarray(a) for a in (w1, b1, w2, b2, w3, b3))
+
+
+@pytest.mark.parametrize("h,w,c,m,th,tw", [(32, 64, 64, 16, 16, 32),
+                                           (16, 32, 128, 32, 8, 16)])
+def test_fused_bottleneck_matches_reference(rng, h, w, c, m, th, tw):
+    """Fused megakernel == the same folded math as three XLA convs,
+    including the 3x3's zero padding at every image edge (tiles at all
+    four borders are exercised by the 2x2 grid)."""
+    from tpuseg.kernels.bottleneck_fused import (
+        fused_bottleneck,
+        reference_bottleneck,
+    )
+
+    x = jnp.asarray(rng.randn(1, h, w, c), jnp.bfloat16)
+    ws = _bottleneck_weights(rng, c, m)
+    got = np.asarray(fused_bottleneck(x, *ws, th=th, tw=tw, interpret=True),
+                     np.float32)
+    want = np.asarray(reference_bottleneck(x, *ws), np.float32)
+    assert got.dtype == np.float32 and x.dtype == jnp.bfloat16
+    # both paths cast the two intermediates to bf16 and the CPU XLA conv
+    # additionally quantizes internally (measured: BOTH sit ~2-6e-3
+    # L1-relative from an f64 ground truth sharing their casts, growing
+    # with channel depth) — compare with the L1-relative metric
+    # (CLAUDE.md convention) at a bf16-noise threshold ~50x below the
+    # ~0.3+ a mis-shifted tap/halo or wrong residual would produce
+    l1 = np.abs(got - want).sum() / np.abs(want).sum()
+    assert l1 < 2e-2, l1
+
+
+def test_fused_bottleneck_matches_model_block(rng):
+    """fold_bn + megakernel == the production Bottleneck module in eval
+    mode from the SAME variables — pins the BN folding (scale/bias/mean/
+    var wiring, eps) and the tap order to the real block, not just to the
+    sibling reference function."""
+    import jax
+
+    from tpuseg.kernels.bottleneck_fused import fold_bn, fused_bottleneck
+    from tpuseg.models.hrnet import Bottleneck
+
+    c, m = 64, 16
+    x = jnp.asarray(rng.randn(1, 32, 64, c), jnp.bfloat16)
+    blk = Bottleneck(planes=m, downsample=False, dtype=jnp.bfloat16)
+    variables = blk.init(jax.random.PRNGKey(0), x, False)
+    # randomize BN leaves so a folding bug cannot hide behind init values
+    params = jax.tree.map(
+        lambda a: jnp.asarray(rng.randn(*a.shape), a.dtype) * 0.2 + 1.0,
+        variables["params"])
+    stats = jax.tree.map(
+        lambda a: jnp.abs(jnp.asarray(rng.randn(*a.shape), a.dtype)) + 0.5,
+        variables["batch_stats"])
+    variables = {"params": params, "batch_stats": stats}
+    want = blk.apply(variables, x, False)
+
+    folded = []
+    for name, kshape in (("conv1", (1, 1)), ("conv2", (3, 3)),
+                         ("conv3", (1, 1))):
+        bn = name.replace("conv", "bn")
+        k, b = fold_bn(params[name]["kernel"],
+                       params[bn]["bn"]["scale"], params[bn]["bn"]["bias"],
+                       stats[bn]["bn"]["mean"], stats[bn]["bn"]["var"])
+        cout = k.shape[-1]
+        folded += [k.reshape(-1, k.shape[-2], cout).squeeze(0)
+                   if kshape == (1, 1) else k.reshape(9, *k.shape[-2:]), b]
+    got = np.asarray(fused_bottleneck(x, *folded, th=16, tw=32,
+                                      interpret=True), np.float32)
+    want = np.asarray(want, np.float32)
+    l1 = np.abs(got - want).sum() / np.abs(want).sum()
+    assert l1 < 2e-2, l1
+
+
+def test_fused_stage1_model_flag(rng, monkeypatch):
+    """INTEGRATION: HRNetV2(fused_stage1=True) routes the stage-1
+    identity bottlenecks (blocks 2-4; block 1 keeps its downsample
+    projection on XLA) through the megakernel and matches the unfused
+    trunk from the SAME variables. A call counter proves the fused path
+    actually ran rather than silently falling back."""
+    import jax
+
+    import tpuseg.kernels.bottleneck_fused as bf
+    from tpuseg.models.hrnet import HRNetSpec, HRNetV2
+
+    calls = []
+    real = bf.fused_bottleneck
+    monkeypatch.setattr(
+        bf, "fused_bottleneck",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1])
+
+    # real stage-1 width (64 planes -> 256 ch) so the kernel sees the
+    # production channel shapes; tiny later stages keep the test fast
+    spec = HRNetSpec(stage1_blocks=3, stage1_channels=64,
+                     stage2_modules=1, stage2_channels=(8, 16),
+                     stage2_blocks=1, stage3_modules=1,
+                     stage3_channels=(8, 16, 32), stage3_blocks=1,
+                     stage4_modules=1, stage4_channels=(8, 16, 32, 64),
+                     stage4_blocks=1)
+    x = jnp.asarray(rng.randn(1, 64, 512, 3), jnp.bfloat16)
+    trunk = HRNetV2(spec, dtype=jnp.bfloat16)
+    variables = trunk.init(jax.random.PRNGKey(0), x, False)
+    # randomized BN leaves so a folding bug cannot hide behind init values
+    variables = {
+        "params": jax.tree.map(
+            lambda a: jnp.asarray(rng.randn(*a.shape), a.dtype) * 0.1
+            + (1.0 if a.ndim == 1 else 0.0), variables["params"]),
+        "batch_stats": jax.tree.map(
+            lambda a: jnp.abs(jnp.asarray(rng.randn(*a.shape), a.dtype))
+            * 0.3 + 0.7, variables["batch_stats"]),
+    }
+    _, _, want = trunk.apply(variables, x, False)
+    assert not calls
+    fused = HRNetV2(spec, dtype=jnp.bfloat16, fused_stage1=True)
+    _, _, got = fused.apply(variables, x, False)
+    assert len(calls) == 2, len(calls)  # blocks 2-3 (block 1 downsamples)
+    got, want = np.asarray(got, np.float32), np.asarray(want, np.float32)
+    l1 = np.abs(got - want).sum() / max(np.abs(want).sum(), 1e-30)
+    assert l1 < 5e-2, l1  # bf16 noise band after stages 2-4 propagation
+
+
 def test_softmax_masks_padded_keys(rng):
     """The kernel zero-pads K to 128 lanes, so a padded slot's sim is
     exactly 0 and an UNMASKED softmax would hand it exp(0)=1 of mass —

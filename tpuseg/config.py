@@ -150,6 +150,14 @@ class ModelConfig:
     # on v5e, XLA's own fusion wins for this op and it is <1% of pipeline
     # time (tpuseg/models/ocr.py:ObjectAttention docstring)
     use_pallas: bool = False
+    # opt-in fused stage-1 Bottleneck Pallas megakernel (inference only;
+    # tpuseg/kernels/bottleneck_fused.py). Off by default — measured on
+    # v5e (tools/bench_megakernel.py): XLA's three-conv compilation wins
+    # at 0.68-0.70x kernel/XLA; per-tile DMA serialization eats the
+    # traffic savings and larger tiles exceed VMEM (docs/ROOFLINE.md).
+    # Shapes that don't tile (H%64 or W%512 of input res) silently take
+    # the XLA path either way.
+    fused_stage1: bool = False
 
 
 @dataclass(frozen=True)

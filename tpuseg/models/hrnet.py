@@ -91,10 +91,43 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: Dtype = jnp.bfloat16
+    fused_kernel: bool = False
     expansion: int = 4
+
+    # the fused Pallas megakernel's tile grid (th | H, tw | W required;
+    # tw is lane-aligned at 128). Shapes that don't divide fall back to
+    # the XLA path below — both compute the same folded eval math
+    # (tests/test_pallas_kernels.py::test_fused_bottleneck_matches_model_block)
+    _TH, _TW = 16, 128
+
+    def _fused_eval(self, x):
+        """Inference-only VMEM-resident fused block (BN folded on the fly
+        from this module's own variables — tpuseg/kernels/bottleneck_fused)."""
+        from tpuseg.kernels.bottleneck_fused import fold_bn, fused_bottleneck
+
+        folded = []
+        for name in ("conv1", "conv2", "conv3"):
+            bn = self.get_variable("params", name.replace("conv", "bn"))["bn"]
+            st = self.get_variable("batch_stats",
+                                   name.replace("conv", "bn"))["bn"]
+            k, b = fold_bn(self.get_variable("params", name)["kernel"],
+                           bn["scale"], bn["bias"], st["mean"], st["var"])
+            kh, kw, cin, cout = k.shape
+            folded += [k.reshape(kh * kw, cin, cout).squeeze(0)
+                       if kh == 1 else k.reshape(9, cin, cout), b]
+        return fused_bottleneck(x.astype(jnp.bfloat16), *folded,
+                                th=self._TH, tw=self._TW)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if (self.fused_kernel and not train and not self.downsample
+                and self.stride == 1 and not self.is_initializing()
+                and self.has_variable("params", "conv1")
+                and self.dtype == jnp.bfloat16 and x.shape[0] == 1
+                and x.shape[1] % self._TH == 0
+                and x.shape[2] % self._TW == 0
+                and x.shape[3] == self.planes * self.expansion):
+            return self._fused_eval(x)
         residual = x
         y = conv(self.planes, 1, dtype=self.dtype,
                  kernel_init=hrnet_normal, name="conv1")(x)
@@ -222,6 +255,9 @@ class HRNetV2(nn.Module):
     # (usually most expensive) stages
     remat: bool = False
     dtype: Dtype = jnp.bfloat16
+    # opt-in inference megakernel for the stage-1 identity bottlenecks
+    # (tpuseg/kernels/bottleneck_fused.py; benched by tools/bench_megakernel.py)
+    fused_stage1: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -249,6 +285,7 @@ class HRNetV2(nn.Module):
         for b in range(s.stage1_blocks):
             need_ds = b == 0
             x = BNK(s.stage1_channels, downsample=need_ds, dtype=self.dtype,
+                    fused_kernel=self.fused_stage1,
                     name=f"layer1_block{b}")(x, train)
         stage1_out = s.stage1_channels * Bottleneck.expansion
 

@@ -35,11 +35,13 @@ class OCRNet(nn.Module):
     align_corners: bool = False
     remat: bool = False
     use_pallas: bool = False
+    fused_stage1: bool = False
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
         self.backbone = HRNetV2(self.spec, self.align_corners, self.remat,
-                                self.dtype, name="backbone")
+                                self.dtype, fused_stage1=self.fused_stage1,
+                                name="backbone")
         self.ocr = OCRBlock(self.num_classes, self.mid_channels,
                             self.key_channels, self.use_pallas,
                             self.dtype, dropout=self.ocr_dropout,
@@ -70,13 +72,15 @@ class OCRNetASPP(nn.Module):
     align_corners: bool = False
     remat: bool = False
     use_pallas: bool = False
+    fused_stage1: bool = False
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
         from tpuseg.models.heads import make_aspp
 
         self.backbone = HRNetV2(self.spec, self.align_corners, self.remat,
-                                self.dtype, name="backbone")
+                                self.dtype, fused_stage1=self.fused_stage1,
+                                name="backbone")
         self.aspp, _ = make_aspp(256, output_stride=8,
                                  align_corners=self.align_corners,
                                  dtype=self.dtype, name="aspp")
@@ -119,6 +123,7 @@ class MscaleOCR(nn.Module):
     attn_old_arch: bool = False
     remat: bool = False
     use_pallas: bool = False
+    fused_stage1: bool = False
     dtype: Dtype = jnp.bfloat16
     # dtype of the full-resolution upsample + fusion chains at EVAL time.
     # float32 reproduces the reference's AMP-O1 fp32 islands exactly;
@@ -128,7 +133,8 @@ class MscaleOCR(nn.Module):
 
     def setup(self):
         self.backbone = HRNetV2(self.spec, self.align_corners, self.remat,
-                                self.dtype, name="backbone")
+                                self.dtype, fused_stage1=self.fused_stage1,
+                                name="backbone")
         self.ocr = OCRBlock(self.num_classes, self.mid_channels,
                             self.key_channels, self.use_pallas,
                             self.dtype, dropout=self.ocr_dropout,
@@ -174,6 +180,7 @@ def _common(cfg):
         align_corners=cfg.model.align_corners,
         remat=cfg.model.remat,
         use_pallas=cfg.model.use_pallas,
+        fused_stage1=cfg.model.fused_stage1,
         dtype=jnp.dtype(cfg.model.compute_dtype),
     )
 

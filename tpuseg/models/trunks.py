@@ -15,7 +15,8 @@ from tpuseg.models.xception import Xception71
 
 
 def get_trunk(trunk_name: str, output_stride: int = 8, remat: bool = False,
-              dtype=jnp.bfloat16, align_corners: bool = False):
+              dtype=jnp.bfloat16, align_corners: bool = False,
+              fused_stage1: bool = False):
     """-> (trunk_module, s2_ch, s4_ch, high_level_ch).
 
     Channel counts per the reference contract (network/utils.py:108-135).
@@ -61,8 +62,10 @@ def get_trunk(trunk_name: str, output_stride: int = 8, remat: bool = False,
                                name="backbone"), 24, 32, 448)
     if trunk_name == "hrnetv2":
         return (HRNetV2(W48_SPEC, align_corners, remat, dtype,
-                        name="backbone"), -1, -1, W48_SPEC.high_level_ch)
+                        fused_stage1=fused_stage1, name="backbone"),
+                -1, -1, W48_SPEC.high_level_ch)
     if trunk_name == "hrnetv2_tiny":
         return (HRNetV2(TINY_SPEC, align_corners, remat, dtype,
-                        name="backbone"), -1, -1, TINY_SPEC.high_level_ch)
+                        fused_stage1=fused_stage1, name="backbone"),
+                -1, -1, TINY_SPEC.high_level_ch)
     raise ValueError(f"unknown trunk {trunk_name}")
