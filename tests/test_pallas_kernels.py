@@ -93,10 +93,11 @@ def test_fused_bottleneck_matches_reference(rng, h, w, c, m, th, tw):
 
     x = jnp.asarray(rng.randn(1, h, w, c), jnp.bfloat16)
     ws = _bottleneck_weights(rng, c, m)
-    got = np.asarray(fused_bottleneck(x, *ws, th=th, tw=tw, interpret=True),
-                     np.float32)
+    y = fused_bottleneck(x, *ws, th=th, tw=tw, interpret=True)
+    # the kernel's actual output dtype must match the XLA path it replaces
+    assert y.dtype == jnp.bfloat16 and x.dtype == jnp.bfloat16
+    got = np.asarray(y, np.float32)
     want = np.asarray(reference_bottleneck(x, *ws), np.float32)
-    assert got.dtype == np.float32 and x.dtype == jnp.bfloat16
     # both paths cast the two intermediates to bf16 and the CPU XLA conv
     # additionally quantizes internally (measured: BOTH sit ~2-6e-3
     # L1-relative from an f64 ground truth sharing their casts, growing

@@ -69,7 +69,7 @@ def main():
                 return y
             return run
 
-        th = 16 if not interpret else 16
+        th = 16
         variants = {
             "xla_3conv": chain(reference_bottleneck),
             "pallas_fused": chain(lambda y, *w: fused_bottleneck(

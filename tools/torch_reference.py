@@ -32,7 +32,15 @@ REFERENCE = os.environ.get("TPUSEG_REFERENCE", "/root/reference")
 def install_stubs():
     """Register apex/runx/torchvision stand-ins in sys.modules."""
     import numpy as np
+    import torch
     import torch.nn as nn
+
+    # the reference RMI loss hardcodes CUDA tensor types
+    # (loss/rmi.py:171-172 ``.type(torch.cuda.DoubleTensor)``); on the
+    # CPU-only torch in this env that raises at runtime. Same shim as
+    # tests/test_rmi.py:136 — semantically exact (dtype cast, device-free).
+    torch.cuda.DoubleTensor = torch.DoubleTensor
+    torch.cuda.FloatTensor = torch.FloatTensor
 
     # the reference predates numpy 2.x: restore the removed scalar aliases
     # it uses (network/hrnetv2.py:315 np.int, utils/f_boundary.py:193 np.bool)
@@ -127,11 +135,38 @@ def _neuter_pretrained_loads():
     SE.initialize_pretrained_model = lambda *a, **k: None
 
 
+def _shrink_to_tiny(cfg):
+    """Mutate the reference's (mutable, pre-freeze) global cfg so
+    ``ocrnet.HRNet_Mscale`` builds the exact topology of our
+    ``HRNet_Mscale_Tiny`` (tpuseg/models/hrnet.py TINY_SPEC + mid 32 /
+    key 16 / attn bot 16). The reference's HRNet is fully config-driven
+    (config.py:161-190, network/utils.py:321,344), so a tiny REFERENCE
+    model is constructible — giving a train-parity oracle that compiles
+    in seconds instead of the W48 oracle's ~13 CPU-minutes."""
+    E = cfg.MODEL.OCR_EXTRA
+    E.STAGE1.NUM_BLOCKS = [1]
+    E.STAGE1.NUM_CHANNELS = [8]
+    E.STAGE2.NUM_MODULES = 1
+    E.STAGE2.NUM_BLOCKS = [1, 1]
+    E.STAGE2.NUM_CHANNELS = [8, 16]
+    E.STAGE3.NUM_MODULES = 1
+    E.STAGE3.NUM_BLOCKS = [1, 1, 1]
+    E.STAGE3.NUM_CHANNELS = [8, 16, 32]
+    E.STAGE4.NUM_MODULES = 1
+    E.STAGE4.NUM_BLOCKS = [1, 1, 1, 1]
+    E.STAGE4.NUM_CHANNELS = [8, 16, 32, 64]
+    cfg.MODEL.OCR.MID_CHANNELS = 32
+    cfg.MODEL.OCR.KEY_CHANNELS = 16
+    cfg.MODEL.SEGATTN_BOT_CH = 16
+
+
 def build_reference_model(arch: str = "ocrnet.HRNet_Mscale",
                           num_classes: int = 19, n_scales=None,
-                          seed: int = 0):
+                          seed: int = 0, tiny: bool = False):
     """Instantiate a reference network factory on CPU with random init."""
     cfg = reference_cfg(num_classes, n_scales)
+    if tiny:
+        _shrink_to_tiny(cfg)
     import importlib
 
     import torch
@@ -235,6 +270,34 @@ def randomize_bn(net, seed: int = 0):
                     mod.running_var.uniform_(0.5, 1.5, generator=g)
 
 
+def randomize_convs(net, seed: int = 0):
+    """Re-init every conv with kaiming_normal before a TRAIN dump.
+
+    The reference's HRNet trunk init is normal(std=0.001)
+    (network/hrnetv2.py:457-458). At that init every BN re-normalizes a
+    ~0.001-std activation back to unit scale, so the BACKWARD is amplified
+    by ~1/std per layer — measured: a 1e-7 relative input perturbation
+    changes the reference's own gradients by 2.3e-3 on the tiny topology
+    and O(1) at W48 depth. Gradients at that init are chaotic; no
+    cross-framework oracle can compare them. Conditioning the weights
+    (sane activation scales, O(1) BN batch stats) makes the train-path
+    gradient comparison well-posed while exercising exactly the same
+    converter key map. Eval dumps keep the original init — the forward
+    is self-normalizing and not chaotic."""
+    import torch
+
+    g = torch.Generator().manual_seed(seed + 31337)
+    for mod in net.modules():
+        if isinstance(mod, torch.nn.Conv2d):
+            with torch.no_grad():
+                fan_in = (mod.in_channels // mod.groups
+                          * mod.kernel_size[0] * mod.kernel_size[1])
+                std = (2.0 / max(fan_in, 1)) ** 0.5
+                mod.weight.normal_(0.0, std, generator=g)
+                if mod.bias is not None:
+                    mod.bias.uniform_(-0.1, 0.1, generator=g)
+
+
 def zero_dropout(net):
     """Deterministic train-mode forward: torch and flax draw dropout masks
     from different RNGs, so train parity is only comparable with dropout
@@ -257,8 +320,9 @@ def train_dump(args):
     import torch
 
     net, cfg = build_reference_model(args.arch, args.num_classes, None,
-                                     args.seed)
+                                     args.seed, tiny=args.tiny)
     randomize_bn(net, args.seed)
+    randomize_convs(net, args.seed)
     zero_dropout(net)
 
     if args.criterion == "rmi":
@@ -322,6 +386,9 @@ def main():
                          "post-forward BN running stats")
     ap.add_argument("--criterion", default="rmi", choices=["rmi", "ce"],
                     help="criterion for --train-dump")
+    ap.add_argument("--tiny", action="store_true",
+                    help="shrink the reference cfg to the HRNet_Mscale_Tiny "
+                         "topology (fast oracle)")
     ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 

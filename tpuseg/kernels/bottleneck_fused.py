@@ -92,6 +92,12 @@ def fused_bottleneck(x, w1, b1, w2, b2, w3, b3, *, th=32, tw=128,
     """relu(conv3(relu(conv2(relu(conv1(x))))) + x), BN pre-folded.
 
     x: (1, H, W, C) bf16, th | H, tw | W, C = 4 * M. Returns same shape.
+
+    NOT differentiable: no custom VJP is defined, so lowering fails under
+    jax.grad. The production gate (HRNetV2 routes here only when
+    ``fused_stage1 and not train``, tpuseg/models/hrnet.py) keeps every
+    training path on the XLA convs; call sites outside the model must
+    respect the same inference-only constraint.
     """
     if jax.default_backend() in ("cpu", "gpu"):
         interpret = True  # Mosaic is TPU-only; tests/dev run interpreted
