@@ -18,6 +18,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the oracle tier jits several full-W48 graphs
+# (~13 min each on one CPU core); re-runs of an unchanged graph become
+# near-instant. Keyed by HLO hash, so any model/code change recompiles.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("TPUSEG_TEST_CACHE",
+                                 "/tmp/tpuseg_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 30.0)
 
 import numpy as np
 import pytest
