@@ -110,7 +110,7 @@ def test_strided_conv_grad_batch_sharded_2d_mesh_exact():
     np.testing.assert_allclose(got, g_ref, rtol=1e-4, atol=1e-4)
 
 
-def _train_step_fixture():
+def _train_step_fixture(h: int = 32):
     from tpuseg.losses import get_loss
     from tpuseg.train import create_train_state, make_optimizer, \
         make_train_step
@@ -126,7 +126,7 @@ def _train_step_fixture():
     criterion, _ = get_loss(cfg)
     tx, _ = make_optimizer(cfg, 10)
     state = create_train_state(model, tx, jax.random.PRNGKey(0),
-                               jnp.zeros((1, 32, 32, 3)))
+                               jnp.zeros((1, h, 32, 3)))
     step = jax.jit(make_train_step(model, criterion))
     return state, step
 
@@ -168,13 +168,16 @@ def test_spatial_train_step_2d_mesh():
     (data=2, model=4) mesh — batch sharded over ``data``, image height
     over ``model`` — matches the replicated run on all params and BN
     stats. Safe because shard_batch_spatial's ``P(data, model)`` layout
-    keeps every conv operand sharded over BOTH mesh axes, avoiding the
-    batch-replicated strided-conv gradient bug pinned above."""
-    state, step = _train_step_fixture()
+    keeps every conv operand sharded over BOTH mesh axes (avoiding the
+    batch-replicated strided-conv gradient bug pinned above) AND the
+    128px height keeps every conv >= 1 H row per model-axis device,
+    avoiding the degenerate-shard gradient bug pinned below."""
+    state, step = _train_step_fixture(h=128)
     rngkey = jax.random.PRNGKey(1)
     rng = np.random.RandomState(1)
-    batch = {"image": jnp.asarray(rng.randn(4, 32, 32, 3), jnp.float32),
-             "label": jnp.asarray(rng.randint(0, 19, (4, 32, 32)), jnp.int32)}
+    batch = {"image": jnp.asarray(rng.randn(4, 128, 32, 3), jnp.float32),
+             "label": jnp.asarray(rng.randint(0, 19, (4, 128, 32)),
+                                  jnp.int32)}
     s_ref, m_ref = step(state, batch, rngkey)
 
     mesh = make_mesh(jax.devices(), model_parallelism=4)
@@ -182,3 +185,52 @@ def test_spatial_train_step_2d_mesh():
     sharded = shard_batch_spatial(mesh, batch)
     s_sp, m_sp = step(replicate(mesh, state), sharded, rngkey)
     _assert_step_matches(s_sp, m_sp, s_ref, m_ref)
+
+
+def test_trainer_rejects_degenerate_spatial_crop(tmp_path):
+    """Trainer refuses model_parallelism configs whose crop would shard a
+    conv below 1 H row per device (the degenerate-shard XLA gradient bug
+    pinned below) — the guard fires before any data/model setup."""
+    from tpuseg.train.loop import Trainer
+
+    cfg = make_config({
+        "model.arch": "ocrnet.HRNet_Mscale_Tiny",
+        "dataset.crop_size": (64, 64),   # 64/2/32 = 1 row < 2 devices
+        "mesh.model_parallelism": 2,
+        "train.batch_size": 4,
+    })
+    with pytest.raises(AssertionError, match="degenerate-shard"):
+        Trainer(cfg, logdir=str(tmp_path / "logs"))
+
+
+def test_train_step_2d_mesh_degenerate_h_xla_bug():
+    """Regression marker pinning the SECOND broken case of the XLA SPMD
+    strided-conv gradient bug: DEGENERATE H-shards. At 32px the two-scale
+    train forward's 0.5x pass reaches a stride-32 stage with fewer H rows
+    than the 4-device ``model`` axis (< 1 row/device); the loss stays
+    EXACT but the gradients come back ~0.84 L1-rel wrong (jax 0.9.0,
+    CPU+TPU SPMD). Trainer refuses such configs at startup
+    (train/loop.py crop-size assert). If this test starts failing (the
+    degenerate gradient becomes correct), the upstream bug is fixed —
+    relax the Trainer guard and the spatial_sharding docstring."""
+    state, step = _train_step_fixture()
+    rngkey = jax.random.PRNGKey(1)
+    rng = np.random.RandomState(1)
+    batch = {"image": jnp.asarray(rng.randn(4, 32, 32, 3), jnp.float32),
+             "label": jnp.asarray(rng.randint(0, 19, (4, 32, 32)),
+                                  jnp.int32)}
+    s_ref, m_ref = step(state, batch, rngkey)
+
+    mesh = make_mesh(jax.devices(), model_parallelism=4)
+    sharded = shard_batch_spatial(mesh, batch)
+    s_sp, m_sp = step(replicate(mesh, state), sharded, rngkey)
+    # loss (forward) is exact even in the broken case
+    np.testing.assert_allclose(float(m_sp["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+    from conftest import tree_l1_rel
+    rel = tree_l1_rel(s_sp.params, s_ref.params)
+    assert rel > 2e-5, (  # 2e-5 = the passing tests' tolerance above
+        "degenerate-H-shard 2D-mesh train gradients are now CORRECT "
+        f"(param L1-rel {rel:.2e}) — the upstream XLA bug is fixed; relax "
+        "the Trainer crop-size guard (train/loop.py) and the caveat in "
+        "parallel/mesh.py:spatial_sharding")

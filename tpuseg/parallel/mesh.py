@@ -50,20 +50,31 @@ def spatial_sharding(mesh: Mesh, data_axis: str = "data",
     for whole-image crops (bs=1/chip at 1024x2048) or >2x-scale / 8k-class
     imagery that won't fit one chip's HBM.
 
-    KNOWN XLA BUG (jax 0.9.0), precisely delimited: the KERNEL GRADIENT
-    of a strided conv is silently wrong when the operand is REPLICATED
-    over one mesh axis while H is sharded over another (e.g.
-    ``P(None, model)`` on a 2D mesh) — the partial-replication reduction
-    is mis-emitted. The sharding this function returns —
-    ``P(data, model)``, batch genuinely sharded over ``data`` — is EXACT
-    on 2D meshes, gradients included (full train-step proof:
-    tests/test_spatial_sharding.py::test_spatial_train_step_2d_mesh;
-    the broken batch-replicated case is pinned by the canary
-    ``test_strided_conv_grad_batch_replicated_xla_bug``). Therefore
-    dp x sp TRAINING is supported whenever the global batch is a
-    multiple of the ``data`` axis size (bs>=1 per data-replica); only a
-    batch-replicated H-sharded layout (batch smaller than the data
-    axis) remains inference-only.
+    KNOWN XLA BUG (jax 0.9.0), precisely delimited — the KERNEL GRADIENT
+    of a strided conv on a 2D mesh is silently wrong in exactly two
+    degenerate layouts (forward values and losses stay EXACT in both):
+
+    1. operand REPLICATED over one mesh axis while H is sharded over
+       another (``P(None, model)``) — the partial-replication reduction
+       is mis-emitted. Pinned by the canary
+       ``test_strided_conv_grad_batch_replicated_xla_bug``.
+    2. DEGENERATE H-SHARDS: some conv in the graph sees fewer H rows
+       than the ``model`` axis has devices (< 1 row/device — e.g. the
+       0.5x train pass of a 32px image reaching a stride-32 stage on a
+       4-device axis). Measured grad L1-rel 0.84 at 32px vs 2.4e-4 at
+       128px on the identical graph. Pinned by the canary
+       ``test_train_step_2d_mesh_degenerate_h_xla_bug``.
+
+    The sharding this function returns — ``P(data, model)``, batch
+    genuinely sharded over ``data`` — is EXACT on 2D meshes whenever
+    every conv keeps >= 1 H row per model-axis device (full train-step
+    proof: tests/test_spatial_sharding.py::test_spatial_train_step_2d_mesh).
+    Production crops (>= 512px) with model_parallelism <= 8 satisfy this
+    by an order of magnitude; Trainer asserts it at startup
+    (train/loop.py). Therefore dp x sp TRAINING is supported whenever
+    the global batch is a multiple of the ``data`` axis size AND crops
+    are non-degenerate; batch-replicated H-sharded layouts (batch
+    smaller than the data axis) remain inference-only.
     """
     return NamedSharding(mesh, P(data_axis, model_axis))
 
@@ -71,10 +82,15 @@ def spatial_sharding(mesh: Mesh, data_axis: str = "data",
 def shard_batch_spatial(mesh: Mesh, batch, data_axis: str = "data",
                         model_axis: str = "model"):
     """Place a host batch with images sharded over (data, model) axes;
-    labels shard the same way on H."""
+    labels shard the same way on H. Multi-host: each host contributes its
+    local batch rows (same contract as shard_batch)."""
     import jax
 
     sharding = spatial_sharding(mesh, data_axis, model_axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

@@ -27,7 +27,8 @@ from tpuseg.evaluation.metrics import (
 )
 from tpuseg.losses import get_loss
 from tpuseg.models import get_model
-from tpuseg.parallel import make_mesh, replicate, shard_batch
+from tpuseg.parallel import make_mesh, replicate, shard_batch, \
+    shard_batch_spatial
 from tpuseg.parallel.mesh import multihost_sum
 from tpuseg.train.checkpoint import AutoResume, CheckpointManager, \
     load_snapshot
@@ -69,6 +70,20 @@ class Trainer:
             devices[: n_data * cfg.mesh.model_parallelism],
             model_parallelism=cfg.mesh.model_parallelism)
         self.logger.msg(f"mesh: {dict(self.mesh.shape)}")
+        if cfg.mesh.model_parallelism > 1:
+            # dp x sp: train batches are H-sharded over the `model` axis
+            # (spatial_sharding). Guard against degenerate H-shards: the
+            # two-scale train forward's 0.5x pass reaches H/2/32 rows at
+            # the deepest trunk stage, and XLA's SPMD strided-conv kernel
+            # gradient is silently wrong when that is sharded below one
+            # row per device (tests/test_spatial_sharding.py canary).
+            min_h = int(cfg.dataset.crop_size[0]) // 2 // 32
+            assert min_h >= cfg.mesh.model_parallelism, (
+                f"crop H {cfg.dataset.crop_size[0]} too small for "
+                f"model_parallelism={cfg.mesh.model_parallelism}: the 0.5x "
+                f"pass's deepest stage has {min_h} rows, which would shard "
+                "below 1 row/device and hit the degenerate-shard XLA "
+                "gradient bug (parallel/mesh.py:spatial_sharding)")
 
         self.model = get_model(cfg)
         self.eval_model = self._make_eval_model()
@@ -233,7 +248,9 @@ class Trainer:
         for i, batch in enumerate(self.train_loader):
             if cfg.train.test_mode and i >= 10:
                 break
-            device_batch = shard_batch(self.mesh, {
+            place = (shard_batch_spatial
+                     if self.cfg.mesh.model_parallelism > 1 else shard_batch)
+            device_batch = place(self.mesh, {
                 "image": batch["image"], "label": batch["label"]})
             self.state, metrics = step_fn(self.state, device_batch, rng)
             loss_sum = metrics["loss"] if loss_sum is None \
