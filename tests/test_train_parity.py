@@ -252,10 +252,17 @@ def test_eval_nscale_gradient_parity(eval_grad_dump):
 
     (_, pred), grads = jax.value_and_grad(
         readout, has_aux=True)(params)
-    # forward pin (same check as test_torch_parity, different init)
+    # forward pin (same model path as test_torch_parity, different init).
+    # L1-relative, not elementwise: the randomized-BN init makes the eval
+    # forward's magnitudes explode (~1e9 logits at W48 depth — each BN's
+    # random affine multiplies), so a handful of elements exceed any
+    # per-element rtol from pure f32 noise (measured: 12/155648 at 7e-2);
+    # the CLAUDE.md tree metric is the right comparison here too
     want_pred = np.transpose(d["eval_grad"]["pred"], (0, 2, 3, 1))
-    np.testing.assert_allclose(np.asarray(pred), want_pred,
-                               rtol=5e-3, atol=5e-4)
+    got_pred = np.asarray(pred, np.float64)
+    fwd_rel = (np.abs(got_pred - want_pred).sum()
+               / max(np.abs(want_pred).sum(), 1e-30))
+    assert fwd_rel < 1e-3, f"eval forward L1-rel {fwd_rel:.3e}"
 
     # torch leaves without gradients (aux head: eval 'pred' does not
     # consume it) convert onto a ZERO default; our aux grads are exactly
