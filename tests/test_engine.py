@@ -692,3 +692,66 @@ def test_per_scale_iou_and_default_scale(fake_cityscapes, tmp_path):
     assert a2["predictions"].shape == (1, 32, 32)
     assert h2.sum() == 32 * 32
     assert "scale_hists" not in a2  # single scale: no breakdown
+
+
+def test_preemption_checkpoint_and_resume_bitwise(tmp_path, monkeypatch):
+    """Kill-and-resume drill (reference AutoResume: termination poll +
+    checkpoint + restart handshake, train.py:303-321,343-358): a
+    termination request after epoch 0 makes fit() checkpoint and exit; a
+    fresh Trainer on the same logdir auto-resumes at epoch 1; and the
+    resumed run's final params / opt_state / batch_stats are BITWISE
+    identical to an uninterrupted run — explicit rng plus step-carried
+    schedule state make preemption invisible to the trajectory."""
+    import jax
+
+    from tpuseg.train.loop import Trainer
+
+    base = make_config({
+        "model.arch": "ocrnet.HRNet_Mscale_Tiny",
+        "model.compute_dtype": "float32",
+        "model.remat": False,
+        "dataset.name": "synthetic",
+        "dataset.num_classes": 19,
+        "dataset.crop_size": (32, 32),
+        "dataset.num_workers": 1,
+        "train.batch_size": 2,
+        "train.test_mode": True,
+        "train.log_every": 100,
+        "eval.scales": (0.5, 1.0),
+        "loss.loss_type": "ce",
+    })
+
+    def leaves(state):
+        return [np.asarray(x) for x in jax.tree.leaves(
+            {"p": state.params, "o": state.opt_state,
+             "b": state.batch_stats})]
+
+    # uninterrupted reference run (test_mode: 2 epochs x 10 steps)
+    cfg_a = base.replace(train=dataclasses.replace(
+        base.train, checkpoint_dir=str(tmp_path / "ckA")))
+    ta = Trainer(cfg_a, logdir=str(tmp_path / "logsA"))
+    ta.fit()
+    want = leaves(ta.state)
+
+    # interrupted run: the preemption signal arrives during epoch 0
+    term = tmp_path / "TERMINATE"
+    term.write_text("")
+    monkeypatch.setenv("TPUSEG_TERMINATE_FILE", str(term))
+    cfg_b = base.replace(train=dataclasses.replace(
+        base.train, checkpoint_dir=str(tmp_path / "ckB")))
+    tb1 = Trainer(cfg_b, logdir=str(tmp_path / "logsB"))
+    tb1.fit()
+    assert int(tb1.state.step) == 10  # stopped after epoch 0
+    assert tb1.ckpt.latest_step() is not None
+
+    # "restart": signal gone, a fresh process resumes from the checkpoint
+    term.unlink()
+    tb2 = Trainer(cfg_b, logdir=str(tmp_path / "logsB"))
+    assert tb2.start_epoch == 1
+    tb2.fit()
+
+    assert int(tb2.state.step) == int(ta.state.step) == 20
+    got = leaves(tb2.state)
+    assert len(got) == len(want)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
