@@ -156,10 +156,9 @@ class ModelConfig:
     # at 0.68-0.70x kernel/XLA; per-tile DMA serialization eats the
     # traffic savings and larger tiles exceed VMEM (docs/ROOFLINE.md).
     # Shapes that don't tile (H%64 or W%512 of input res) silently take
-    # the XLA path either way. OCRNet-family only (the hrnetv2 trunk under
-    # ocrnet.* archs); other zoo models ignore it — the kernel targets the
-    # HRNet stage-1 Bottleneck, which only that family runs as its trunk
-    # hot path.
+    # the XLA path either way. Plumbed through every zoo model; it only
+    # has an effect when the model's trunk is hrnetv2 (the kernel targets
+    # the HRNet stage-1 Bottleneck) — other trunks ignore it.
     fused_stage1: bool = False
 
 

@@ -132,13 +132,22 @@ def setup_data(cfg: Config, eval_mode: Optional[str] = None,
     ignore_label = getattr(cls, "ignore_label", d.ignore_label)
 
     if d.name == "synthetic":
+        # same per-host sharding contract as the real datasets:
+        # train.batch_size is the GLOBAL batch; each host loads its
+        # 1/num_shards slice and shard_batch assembles the global array
         train_set = cls(tuple(d.crop_size), d.num_classes)
         val_set = cls(tuple(d.crop_size), d.num_classes, length=16)
-        train_loader = BatchLoader(train_set, cfg.train.batch_size,
-                                   shuffle=True, drop_last=True,
-                                   num_workers=d.num_workers)
-        val_loader = BatchLoader(val_set, cfg.eval.batch_size,
-                                 num_workers=2)
+        train_loader = BatchLoader(
+            train_set, cfg.train.batch_size // max(num_shards, 1),
+            sampler=ShardedEpochSampler(len(train_set), num_shards, shard,
+                                        shuffle=True, pad=True, seed=seed),
+            drop_last=True, num_workers=d.num_workers)
+        val_loader = BatchLoader(
+            val_set, cfg.eval.batch_size,
+            sampler=ShardedEpochSampler(len(val_set), num_shards, shard,
+                                        shuffle=False, pad=False,
+                                        seed=seed),
+            num_workers=2)
         return train_loader, val_loader, train_set
 
     val_name = {"val": "val", None: "val", "trn": "train",

@@ -57,12 +57,14 @@ class ASDV3P(nn.Module):
     bn_head: bool = False
     align_corners: bool = False
     remat: bool = False
+    fused_stage1: bool = False
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
         self.backbone, _, _, _ = get_trunk(
             self.trunk, remat=self.remat, dtype=self.dtype,
-            align_corners=self.align_corners)
+            align_corners=self.align_corners,
+            fused_stage1=self.fused_stage1)
         self.aspp, _ = make_aspp(256, 8, self.use_dpc, self.align_corners,
                                  self.dtype, name="aspp")
         self.bot_fine = conv(48, 1, dtype=self.dtype, name="bot_fine")
@@ -141,12 +143,14 @@ class ASDV3P_Paired(nn.Module):
     bn_head: bool = False
     align_corners: bool = False
     remat: bool = False
+    fused_stage1: bool = False
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
         self.backbone, _, _, _ = get_trunk(
             self.trunk, remat=self.remat, dtype=self.dtype,
-            align_corners=self.align_corners)
+            align_corners=self.align_corners,
+            fused_stage1=self.fused_stage1)
         self.aspp, _ = make_aspp(256, 8, self.use_dpc, self.align_corners,
                                  self.dtype, name="aspp")
         self.bot_fine = conv(48, 1, dtype=self.dtype, name="bot_fine")
@@ -233,6 +237,7 @@ def _common(cfg):
                 bn_head=cfg.model.attnscale_bn_head,
                 align_corners=cfg.model.align_corners,
                 remat=cfg.model.remat,
+                fused_stage1=cfg.model.fused_stage1,
                 dtype=jnp.dtype(cfg.model.compute_dtype))
 
 

@@ -22,12 +22,14 @@ class Basic(nn.Module):
     align_corners: bool = False
     seg_bot_ch: int = 256  # reference make_seg_head reads SEGATTN_BOT_CH
     remat: bool = False
+    fused_stage1: bool = False
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
         self.backbone, _, _, _ = get_trunk(
             self.trunk, remat=self.remat, dtype=self.dtype,
-            align_corners=self.align_corners)
+            align_corners=self.align_corners,
+            fused_stage1=self.fused_stage1)
         self.seg_head = SegHead(self.num_classes, self.seg_bot_ch,
                                 dtype=self.dtype, name="seg_head")
 
@@ -47,12 +49,14 @@ class ASPPModel(nn.Module):
     align_corners: bool = False
     seg_bot_ch: int = 256  # reference make_seg_head reads SEGATTN_BOT_CH
     remat: bool = False
+    fused_stage1: bool = False
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
         self.backbone, _, _, _ = get_trunk(
             self.trunk, remat=self.remat, dtype=self.dtype,
-            align_corners=self.align_corners)
+            align_corners=self.align_corners,
+            fused_stage1=self.fused_stage1)
         self.aspp, _ = make_aspp(self.aspp_bot_ch, 8, False,
                                  self.align_corners, self.dtype, name="aspp")
         self.bot_aspp = conv(256, 1, dtype=self.dtype, name="bot_aspp")
@@ -73,6 +77,7 @@ def _kw(cfg):
                 align_corners=cfg.model.align_corners,
                 seg_bot_ch=cfg.model.segattn_bot_ch,
                 remat=cfg.model.remat,
+                fused_stage1=cfg.model.fused_stage1,
                 dtype=jnp.dtype(cfg.model.compute_dtype))
 
 

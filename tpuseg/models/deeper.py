@@ -20,12 +20,14 @@ class DeeperS8(nn.Module):
     trunk: str = "wrn38"
     align_corners: bool = False
     remat: bool = False
+    fused_stage1: bool = False
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
         self.backbone, _, _, _ = get_trunk(
             self.trunk, remat=self.remat, dtype=self.dtype,
-            align_corners=self.align_corners)
+            align_corners=self.align_corners,
+            fused_stage1=self.fused_stage1)
         self.aspp, _ = make_aspp(256, 8, False, self.align_corners,
                                  self.dtype, name="aspp")
         self.convs2 = conv(32, 1, dtype=self.dtype, name="convs2")
@@ -59,6 +61,7 @@ def _kw(cfg):
     return dict(num_classes=cfg.dataset.num_classes,
                 align_corners=cfg.model.align_corners,
                 remat=cfg.model.remat,
+                fused_stage1=cfg.model.fused_stage1,
                 dtype=jnp.dtype(cfg.model.compute_dtype))
 
 

@@ -23,12 +23,14 @@ class DeepV3Plus(nn.Module):
     use_dpc: bool = False
     align_corners: bool = False
     remat: bool = False
+    fused_stage1: bool = False
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
         self.backbone, self.s2_ch, _, high_ch = get_trunk(
             self.trunk, remat=self.remat, dtype=self.dtype,
-            align_corners=self.align_corners)
+            align_corners=self.align_corners,
+            fused_stage1=self.fused_stage1)
         self.aspp, self.aspp_out_ch = make_aspp(
             256, output_stride=8, dpc=self.use_dpc,
             align_corners=self.align_corners, dtype=self.dtype, name="aspp")
@@ -64,12 +66,14 @@ class DeepV3(nn.Module):
     align_corners: bool = False
     seg_bot_ch: int = 256  # reference make_seg_head reads SEGATTN_BOT_CH
     remat: bool = False
+    fused_stage1: bool = False
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
         self.backbone, _, _, high_ch = get_trunk(
             self.trunk, remat=self.remat, dtype=self.dtype,
-            align_corners=self.align_corners)
+            align_corners=self.align_corners,
+            fused_stage1=self.fused_stage1)
         self.aspp, _ = make_aspp(256, output_stride=self.output_stride,
                                  dpc=self.use_dpc,
                                  align_corners=self.align_corners,
@@ -89,6 +93,7 @@ def _kw(cfg):
     return dict(num_classes=cfg.dataset.num_classes,
                 align_corners=cfg.model.align_corners,
                 remat=cfg.model.remat,
+                fused_stage1=cfg.model.fused_stage1,
                 dtype=jnp.dtype(cfg.model.compute_dtype))
 
 

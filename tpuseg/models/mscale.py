@@ -89,12 +89,14 @@ class MscaleV3Plus(nn.Module):
     attn_old_arch: bool = False
     attn_dropout: bool = False
     remat: bool = False
+    fused_stage1: bool = False
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
         self.backbone, _, _, _ = get_trunk(
             self.trunk, remat=self.remat, dtype=self.dtype,
-            align_corners=self.align_corners)
+            align_corners=self.align_corners,
+            fused_stage1=self.fused_stage1)
         self.aspp, _ = make_aspp(256, 8, self.use_dpc, self.align_corners,
                                  self.dtype, name="aspp")
         self.bot_fine = conv(48, 1, dtype=self.dtype, name="bot_fine")
@@ -163,12 +165,14 @@ class MscaleDeeper(nn.Module):
     attn_old_arch: bool = False
     attn_dropout: bool = False
     remat: bool = False
+    fused_stage1: bool = False
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
         self.backbone, s2_ch, s4_ch, high_ch = get_trunk(
             self.trunk, remat=self.remat, dtype=self.dtype,
-            align_corners=self.align_corners)
+            align_corners=self.align_corners,
+            fused_stage1=self.fused_stage1)
         self.aspp, _ = make_aspp(256, 8, False, self.align_corners,
                                  self.dtype, name="aspp")
         self.convs2 = conv(32, 1, dtype=self.dtype, name="convs2")
@@ -238,12 +242,14 @@ class MscaleBasic(nn.Module):
     attn_dropout: bool = False
     fuse_aspp: bool = False
     remat: bool = False
+    fused_stage1: bool = False
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
         self.backbone, _, _, high_ch = get_trunk(
             self.trunk, remat=self.remat, dtype=self.dtype,
-            align_corners=self.align_corners)
+            align_corners=self.align_corners,
+            fused_stage1=self.fused_stage1)
         self.cls_head = SegHead(self.num_classes, self.bot_ch,
                                 dtype=self.dtype, name="cls_head")
         self.scale_attn = AttnHead(out_ch=1, bot_ch=self.bot_ch,
@@ -281,12 +287,14 @@ class MscaleASPP(nn.Module):
     attn_dropout: bool = False
     fuse_aspp: bool = False
     remat: bool = False
+    fused_stage1: bool = False
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
         self.backbone, _, _, high_ch = get_trunk(
             self.trunk, remat=self.remat, dtype=self.dtype,
-            align_corners=self.align_corners)
+            align_corners=self.align_corners,
+            fused_stage1=self.fused_stage1)
         self.aspp, _ = make_aspp(self.aspp_bot_ch, 8, False,
                                  self.align_corners, self.dtype,
                                  name="aspp")
@@ -325,6 +333,7 @@ def _common(cfg):
                 attn_old_arch=cfg.model.mscale_old_arch,
                 attn_dropout=cfg.model.mscale_dropout,
                 remat=cfg.model.remat,
+                fused_stage1=cfg.model.fused_stage1,
                 dtype=jnp.dtype(cfg.model.compute_dtype))
 
 

@@ -92,12 +92,14 @@ class MscaleV3Plus2(nn.Module):
     align_corners: bool = False
     attn_old_arch: bool = False
     remat: bool = False
+    fused_stage1: bool = False
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
         self.backbone, _, _, _ = get_trunk(
             self.trunk, remat=self.remat, dtype=self.dtype,
-            align_corners=self.align_corners)
+            align_corners=self.align_corners,
+            fused_stage1=self.fused_stage1)
         self.aspp, _ = make_aspp(256, 8, False, self.align_corners,
                                  self.dtype, name="aspp")
         self.bot_fine = conv(48, 1, dtype=self.dtype, name="bot_fine")
@@ -147,12 +149,14 @@ class Basic2(nn.Module):
     align_corners: bool = False
     attn_old_arch: bool = False
     remat: bool = False
+    fused_stage1: bool = False
     dtype: Dtype = jnp.bfloat16
 
     def setup(self):
         self.backbone, _, _, high_ch = get_trunk(
             self.trunk, remat=self.remat, dtype=self.dtype,
-            align_corners=self.align_corners)
+            align_corners=self.align_corners,
+            fused_stage1=self.fused_stage1)
         self.cls_head = SegHead(self.num_classes, 256, dtype=self.dtype,
                                 name="cls_head")
         self.scale_attn = AttnHead(out_ch=1, bot_ch=256,
@@ -190,6 +194,7 @@ def _common(cfg):
                 align_corners=cfg.model.align_corners,
                 attn_old_arch=cfg.model.mscale_old_arch,
                 remat=cfg.model.remat,
+                fused_stage1=cfg.model.fused_stage1,
                 dtype=jnp.dtype(cfg.model.compute_dtype))
 
 
