@@ -54,8 +54,11 @@ def main():
                             align_corners=False, is_mscale=True)
 
     def hist_only(v, x, label):
-        _, _, _, hist, _, _ = fwd(v, x, label)
-        return hist
+        acc = {"hist": jnp.zeros((NUM_CLASSES, NUM_CLASSES), jnp.int32),
+               "scale_hists": {}, "loss_sum": jnp.float32(0.0),
+               "loss_n": jnp.float32(0.0)}
+        _, _, _, _, acc = fwd(v, x, label, acc)
+        return acc["hist"]
 
     label = jnp.full((1, H, W), 65, jnp.int32).at[:, :TRUE_H, :TRUE_W].set(0)
 

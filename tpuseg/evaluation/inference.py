@@ -23,6 +23,12 @@ import numpy as np
 from tpuseg.evaluation.metrics import fast_hist_jax, fmt_scale
 from tpuseg.ops import resize_bilinear
 
+# pipelined eval: batches between device-accumulator drains. Each drain is
+# one ~1.4 KB readback (the sync that bounds the dispatch queue); 8 deep
+# keeps at most 8 input images enqueued (~200 MB at 1024x2048) while
+# amortizing the relay RTT 8x.
+DRAIN_EVERY = 8
+
 
 def calc_err_mask_all(pred: np.ndarray, gt: np.ndarray,
                       num_classes: int, ignore_label: int = 255) -> np.ndarray:
@@ -46,14 +52,24 @@ def make_eval_forward(
     do_flip: bool = False,
     align_corners: bool = False,
     is_mscale: bool = True,
+    criterion: Optional[Callable] = None,
+    donate_acc: bool = True,
 ):
     """Build the jitted full-eval forward.
 
-    Returns fn(variables, image, label) ->
-      (avg_logits f32, pred int32, prob f32, hist, asset_dict).
-    """
+    Returns fn(variables, image, label, acc) ->
+      (avg_logits f32, pred int32, prob f32, asset_dict, acc').
 
-    def forward(variables, image, label):
+    ``acc`` is the device-resident metric accumulator (see
+    ``EvalRunner.init_acc``): the confusion matrix, per-outer-scale
+    matrices and the val-loss sum accumulate ON DEVICE across batches, so
+    the host loop never forces a per-image device->host sync — through
+    the device relay (~29 ms RTT) the per-image hist/loss readbacks were
+    serializing dispatch (the reference reads logits back and scores on
+    host every image, utils/trnval_utils.py:170-198; the TPU-first loop
+    drains a 19x19 int box every few batches instead)."""
+
+    def forward(variables, image, label, acc):
         input_size = image.shape[-3:-1]
         flips = (1, 0) if do_flip else (0,)
         output = 0.0
@@ -88,11 +104,24 @@ def make_eval_forward(
         probs = jax.nn.softmax(output, axis=-1)
         prob = jnp.max(probs, axis=-1)
         prediction = jnp.argmax(output, axis=-1).astype(jnp.int32)
-        hist = fast_hist_jax(prediction, label, num_classes)
-        scale_hists = {
-            s: fast_hist_jax(jnp.argmax(v, axis=-1).astype(jnp.int32),
-                             label, num_classes)
-            for s, v in per_scale.items()}
+        new_acc = {
+            "hist": acc["hist"] + fast_hist_jax(prediction, label,
+                                                num_classes),
+            "scale_hists": {
+                s: acc["scale_hists"][s] + fast_hist_jax(
+                    jnp.argmax(v, axis=-1).astype(jnp.int32), label,
+                    num_classes)
+                for s, v in per_scale.items()},
+            "loss_sum": acc["loss_sum"],
+            "loss_n": acc["loss_n"],
+        }
+        if criterion is not None:
+            # padded label pixels are ignore, so the masked mean matches
+            # the cropped-host computation up to fp summation order
+            loss = criterion(output, label).astype(jnp.float32)
+            bs = jnp.float32(image.shape[0])
+            new_acc["loss_sum"] = acc["loss_sum"] + loss * bs
+            new_acc["loss_n"] = acc["loss_n"] + bs
 
         assets = {}
         for k, v in output_dict.items():
@@ -100,9 +129,9 @@ def make_eval_forward(
                 assets[k] = v
             elif k.startswith("pred_"):
                 assets[k] = jnp.argmax(v, axis=-1).astype(jnp.int32)
-        return output, prediction, prob, hist, assets, scale_hists
+        return output, prediction, prob, assets, new_acc
 
-    return jax.jit(forward)
+    return jax.jit(forward, donate_argnums=(3,) if donate_acc else ())
 
 
 class EvalRunner:
@@ -124,21 +153,44 @@ class EvalRunner:
                  do_flip: bool = False, align_corners: bool = False,
                  is_mscale: bool = True, ignore_label: int = 255,
                  criterion: Optional[Callable] = None,
-                 pad_multiple: Optional[int] = None):
+                 pad_multiple: Optional[int] = None,
+                 donate_acc: bool = True):
         self.num_classes = num_classes
         self.ignore_label = ignore_label
-        # jit the val criterion: eager per-batch loss dispatches op-by-op
-        # through the device relay (~30x slower); jit caches per shape
-        self.criterion = jax.jit(criterion) if criterion is not None \
-            else None
         self.pad_multiple = pad_multiple
         # static per-scale-hist key set (mirrors make_eval_forward's
         # `per_scale` gating) so multi-host reductions can run a fixed,
         # data-independent number of collectives even on hosts whose val
         # shard is empty
         self.scale_hist_scales = tuple(scales) if len(scales) > 1 else ()
+        self.has_criterion = criterion is not None
+        # the criterion is fused into the jitted forward: a separate
+        # jitted loss call was a second dispatch + scalar readback per
+        # image through the device relay
         self.forward = make_eval_forward(model, num_classes, scales, do_flip,
-                                         align_corners, is_mscale)
+                                         align_corners, is_mscale, criterion,
+                                         donate_acc)
+
+    def init_acc(self):
+        """Fresh device-resident metric accumulator (confusion matrix,
+        per-outer-scale matrices, val-loss sum). int32 bins overflow only
+        after ~2e9 same-cell pixels, far beyond any drain interval."""
+        c = self.num_classes
+        return {
+            "hist": jnp.zeros((c, c), jnp.int32),
+            "scale_hists": {s: jnp.zeros((c, c), jnp.int32)
+                            for s in self.scale_hist_scales},
+            "loss_sum": jnp.float32(0.0),
+            "loss_n": jnp.float32(0.0),
+        }
+
+    def drain(self, acc):
+        """Read an accumulator back to host (ONE small sync). Returns
+        (hist f64, {scale: hist f64}, loss_sum, loss_n)."""
+        return (np.asarray(acc["hist"], np.float64),
+                {s: np.asarray(v, np.float64)
+                 for s, v in acc["scale_hists"].items()},
+                float(acc["loss_sum"]), float(acc["loss_n"]))
 
     def _pad(self, image: np.ndarray, label: np.ndarray):
         m = self.pad_multiple
@@ -153,7 +205,24 @@ class EvalRunner:
         return image, label, (h, w)
 
     def run_batch(self, variables, batch, calc_metrics: bool = True,
-                  need_assets: bool = True):
+                  need_assets: bool = True, acc=None):
+        """One eval batch.
+
+        Pipelined mode (``acc`` given): dispatches the jitted forward and
+        returns ``(out, acc')`` WITHOUT any device->host sync on
+        metrics-only batches — the caller accumulates on device and
+        ``drain``\\ s every few batches (Trainer.validate /
+        evaluate_only). ``out`` carries image assets only when
+        ``need_assets``.
+
+        Legacy mode (``acc`` is None): one-shot — returns
+        ``(out, hist_np, val_loss)`` like the pre-pipelined API, at the
+        cost of a per-call sync (topn's two-pass scoring and the bench
+        tools use this).
+        """
+        legacy = acc is None
+        if legacy:
+            acc = self.init_acc()
         image = np.asarray(batch["image"])
         label = np.asarray(batch["label"])
         orig_hw = None
@@ -161,23 +230,16 @@ class EvalRunner:
             image, label, orig_hw = self._pad(image, label)
         image = jnp.asarray(image)
         label = jnp.asarray(label)
-        output, pred, prob, hist, assets, scale_hists = self.forward(
-            variables, image, label)
+        output, pred, prob, assets, acc = self.forward(
+            variables, image, label, acc)
         if orig_hw is not None:
             h, w = orig_hw
-            output = output[:, :h, :w]
             pred = pred[:, :h, :w]
             prob = prob[:, :h, :w]
             assets = {k: v[:, :h, :w] if v.ndim >= 3 and
                       v.shape[1] >= h and v.shape[2] >= w else v
                       for k, v in assets.items()}
-            label = label[:, :h, :w]
         out = {}
-        if scale_hists:
-            # per-outer-scale confusion matrices; callers accumulate these
-            # for the iU_{scale} breakdown (not an image asset)
-            out["scale_hists"] = {s: np.asarray(v)
-                                  for s, v in scale_hists.items()}
         if need_assets:
             # full-resolution device->host transfers (pred/prob/attention
             # maps, ~tens of MB per image) — callers pass
@@ -192,7 +254,14 @@ class EvalRunner:
                 out["err_mask"] = calc_err_mask_all(
                     pred_np, np.asarray(batch["label"]),
                     self.num_classes, self.ignore_label)
+        if not legacy:
+            return out, acc
+        hist, scale_hists, loss_sum, loss_n = self.drain(acc)
+        if scale_hists:
+            # per-outer-scale confusion matrices; callers accumulate these
+            # for the iU_{scale} breakdown (not an image asset)
+            out["scale_hists"] = scale_hists
         val_loss = None
-        if calc_metrics and self.criterion is not None:
-            val_loss = float(self.criterion(output, label))
-        return out, np.asarray(hist), val_loss
+        if calc_metrics and self.has_criterion and loss_n:
+            val_loss = loss_sum / loss_n
+        return out, hist, val_loss

@@ -19,7 +19,7 @@ import numpy as np
 from tpuseg.config import Config, eval_model_config, infer_mscale
 from tpuseg.data.setup import setup_data
 from tpuseg.evaluation.dumper import ImageDumper
-from tpuseg.evaluation.inference import EvalRunner
+from tpuseg.evaluation.inference import DRAIN_EVERY, EvalRunner
 from tpuseg.evaluation.metrics import (
     AverageMeter,
     eval_metrics_from_hist,
@@ -324,26 +324,40 @@ class Trainer:
             variables = jax.tree.map(
                 lambda x: jax.device_put(x.addressable_data(0), dev),
                 variables)
+
+        # pipelined metrics-only loop: the confusion matrix / val loss
+        # accumulate on device; drain every DRAIN_EVERY batches so host
+        # dispatch overlaps device compute instead of syncing per image
+        # (EvalRunner.run_batch docstring)
+        acc = runner.init_acc()
+
+        def _drain():
+            nonlocal acc, total_hist
+            h, sh, ls, ln = runner.drain(acc)
+            total_hist += h
+            for s, v in sh.items():
+                scale_hists[s] = scale_hists.get(s, 0) + v
+            if ln:
+                val_loss.update(ls / ln, ln)
+            acc = runner.init_acc()
+
         for val_idx, batch in enumerate(self.val_loader):
             if cfg.train.test_mode and val_idx >= 5:
                 break
             need = dumper.wants(val_idx)
-            assets, hist, loss = runner.run_batch(variables, batch,
-                                                  calc_metrics,
-                                                  need_assets=need)
-            total_hist += hist
-            for s, sh in assets.get("scale_hists", {}).items():
-                scale_hists[s] = scale_hists.get(s, 0) + sh
-            if loss is not None:
-                val_loss.update(loss, batch["image"].shape[0])
+            assets, acc = runner.run_batch(variables, batch, calc_metrics,
+                                           need_assets=need, acc=acc)
             if need:
                 dumper.dump({"input_images": batch["image"],
                              "gt_images": batch["label"],
                              "img_names": batch["name"],
                              "assets": assets}, val_idx)
+            if (val_idx + 1) % DRAIN_EVERY == 0:
+                _drain()
             if val_idx % 20 == 0:
                 self.logger.msg(f"validating [{val_idx}/"
                                 f"{len(self.val_loader)}]")
+        _drain()
 
         if not calc_metrics:
             dumper.write_webpage()
@@ -472,22 +486,33 @@ def evaluate_only(cfg: Config, logdir: str = "logs",
     total_hist = np.zeros(
         (cfg.dataset.num_classes, cfg.dataset.num_classes), np.float64)
     scale_hists: dict = {}
+    # pipelined on-device accumulation (see Trainer.validate)
+    acc = runner.init_acc()
+
+    def _drain():
+        nonlocal acc, total_hist
+        h, sh, _, _ = runner.drain(acc)
+        total_hist += h
+        for s, v in sh.items():
+            scale_hists[s] = scale_hists.get(s, 0) + v
+        acc = runner.init_acc()
+
     for val_idx, batch in enumerate(val_loader):
         if cfg.train.test_mode and val_idx >= 5:
             break
         need = dumper.wants(val_idx)
-        assets, hist, _ = runner.run_batch(variables, batch, calc_metrics,
-                                           need_assets=need)
-        total_hist += hist
-        for s, sh in assets.get("scale_hists", {}).items():
-            scale_hists[s] = scale_hists.get(s, 0) + sh
+        assets, acc = runner.run_batch(variables, batch, calc_metrics,
+                                       need_assets=need, acc=acc)
         if need:
             dumper.dump({"input_images": batch["image"],
                          "gt_images": batch["label"],
                          "img_names": batch["name"],
                          "assets": assets}, val_idx)
+        if (val_idx + 1) % DRAIN_EVERY == 0:
+            _drain()
         if val_idx % 20 == 0:
             logger.msg(f"eval [{val_idx}/{len(val_loader)}]")
+    _drain()
     dumper.write_summaries(logger, 0)
     dumper.write_webpage()
     if calc_metrics:
