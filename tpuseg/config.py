@@ -31,6 +31,12 @@ class DatasetConfig:
     # ImageNet normalization, shared by all trunks (reference: config.py:96-97)
     mean: Sequence[float] = (0.485, 0.456, 0.406)
     std: Sequence[float] = (0.229, 0.224, 0.225)
+    # uint8 wire format: loaders emit raw uint8 pixels / uint8 labels and
+    # the jitted graphs normalize on device (tpuseg/ops/normalize.py) —
+    # 4x fewer host->device bytes, arithmetic identical to host
+    # normalization. Off by default so library batches stay float32;
+    # every shipped recipe turns it on. Requires ignore_label <= 255.
+    transfer_uint8: bool = False
     crop_size: Sequence[int] = (1024, 2048)  # (H, W)
     # class-uniform sampling (reference: config.py:102-103, datasets/uniform.py)
     class_uniform_pct: float = 0.5
@@ -312,6 +318,13 @@ def make_config(overrides: Mapping[str, Any] | None = None) -> Config:
     cfg = Config()
     if overrides:
         cfg = _apply_overrides(cfg, overrides)
+    if cfg.dataset.transfer_uint8 and not (
+            cfg.dataset.ignore_label <= 255
+            and cfg.dataset.num_classes <= 255):
+        raise ValueError(
+            "dataset.transfer_uint8 needs labels + ignore_label to fit in "
+            f"a byte; got num_classes={cfg.dataset.num_classes}, "
+            f"ignore_label={cfg.dataset.ignore_label}")
     return cfg
 
 

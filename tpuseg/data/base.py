@@ -15,7 +15,11 @@ from PIL import Image
 
 from tpuseg.config import DatasetConfig
 from tpuseg.data import uniform
-from tpuseg.data.transforms import mask_to_array, to_normalized_array
+from tpuseg.data.transforms import (
+    mask_to_array,
+    to_normalized_array,
+    to_uint8_array,
+)
 
 
 class BaseDataset:
@@ -151,9 +155,18 @@ class BaseDataset:
         if self.dcfg.dump_images:
             self._dump_augmentation(img, mask, img_name, centroid, class_id)
 
-        image = to_normalized_array(img, self.dcfg.mean, self.dcfg.std)
+        if self.dcfg.transfer_uint8:
+            # uint8 wire format: raw pixels / byte labels; the jitted
+            # consumers normalize + cast on device (ops/normalize.py)
+            image = to_uint8_array(img)
+        else:
+            image = to_normalized_array(img, self.dcfg.mean, self.dcfg.std)
         if self.label_transform is not None:
+            # relaxed-label (float multi-hot) transforms keep their own
+            # dtype regardless of the wire format
             label = self.label_transform(mask)
+        elif self.dcfg.transfer_uint8:
+            label = mask_to_array(mask, np.uint8)
         else:
             label = mask_to_array(mask)
         return {

@@ -99,7 +99,17 @@ def to_normalized_array(img, mean, std) -> np.ndarray:
     return (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
 
 
-def mask_to_array(mask) -> np.ndarray:
+def to_uint8_array(img) -> np.ndarray:
+    """PIL -> raw uint8 HWC for the uint8 wire format
+    (``dataset.transfer_uint8``): normalization happens on device
+    (tpuseg/ops/normalize.py) with arithmetic identical to
+    :func:`to_normalized_array`, at 4x fewer host->device bytes."""
+    return np.asarray(img, dtype=np.uint8)
+
+
+def mask_to_array(mask, dtype=np.int32) -> np.ndarray:
     """PIL mask -> int32 HW (reference MaskToTensor:
-    transforms/transforms.py:70-72)."""
-    return np.array(mask, dtype=np.int32)
+    transforms/transforms.py:70-72). ``dtype=np.uint8`` is the wire
+    format under ``dataset.transfer_uint8`` (labels and ignore_label all
+    fit in a byte; jitted consumers cast back to int32 on device)."""
+    return np.array(mask, dtype=dtype)

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpuseg.evaluation.metrics import fast_hist_jax, fmt_scale
-from tpuseg.ops import resize_bilinear
+from tpuseg.ops import device_label, device_normalize, resize_bilinear
+from tpuseg.ops.normalize import IMAGENET_MEAN, IMAGENET_STD
 
 # pipelined eval: batches between device-accumulator drains. Each drain is
 # one ~1.4 KB readback (the sync that bounds the dispatch queue); 8 deep
@@ -54,6 +55,8 @@ def make_eval_forward(
     is_mscale: bool = True,
     criterion: Optional[Callable] = None,
     donate_acc: bool = True,
+    mean=IMAGENET_MEAN,
+    std=IMAGENET_STD,
 ):
     """Build the jitted full-eval forward.
 
@@ -70,6 +73,10 @@ def make_eval_forward(
     drains a 19x19 int box every few batches instead)."""
 
     def forward(variables, image, label, acc):
+        # uint8 transfer path: raw pixels over the wire, exact ImageNet
+        # normalization on device (no-op for float32 batches)
+        image = device_normalize(image, mean, std)
+        label = device_label(label)
         input_size = image.shape[-3:-1]
         flips = (1, 0) if do_flip else (0,)
         output = 0.0
@@ -154,7 +161,8 @@ class EvalRunner:
                  is_mscale: bool = True, ignore_label: int = 255,
                  criterion: Optional[Callable] = None,
                  pad_multiple: Optional[int] = None,
-                 donate_acc: bool = True):
+                 donate_acc: bool = True,
+                 mean=IMAGENET_MEAN, std=IMAGENET_STD):
         self.num_classes = num_classes
         self.ignore_label = ignore_label
         self.pad_multiple = pad_multiple
@@ -169,7 +177,7 @@ class EvalRunner:
         # image through the device relay
         self.forward = make_eval_forward(model, num_classes, scales, do_flip,
                                          align_corners, is_mscale, criterion,
-                                         donate_acc)
+                                         donate_acc, mean, std)
 
     def init_acc(self):
         """Fresh device-resident metric accumulator (confusion matrix,

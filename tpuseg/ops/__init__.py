@@ -1,3 +1,4 @@
+from tpuseg.ops.normalize import device_label, device_normalize
 from tpuseg.ops.resize import (
     resize_bilinear,
     resize_nearest,
@@ -5,4 +6,5 @@ from tpuseg.ops.resize import (
     scale_as,
 )
 
-__all__ = ["resize_bilinear", "resize_nearest", "resize_x", "scale_as"]
+__all__ = ["device_label", "device_normalize", "resize_bilinear",
+           "resize_nearest", "resize_x", "scale_as"]

@@ -134,7 +134,8 @@ class Trainer:
             is_mscale=infer_mscale(cfg),
             ignore_label=cfg.dataset.ignore_label,
             criterion=self.val_criterion,
-            pad_multiple=cfg.eval.pad_multiple)
+            pad_multiple=cfg.eval.pad_multiple,
+            mean=cfg.dataset.mean, std=cfg.dataset.std)
 
     # ------------------------------------------------------------------
     def _make_eval_model(self):
@@ -186,7 +187,8 @@ class Trainer:
                 ocr_alpha=lc.ocr_alpha,
                 aux_rmi=lc.ocr_aux_rmi,
                 supervised_mscale_wt=lc.supervised_mscale_wt,
-                align_corners=self.cfg.model.align_corners),
+                align_corners=self.cfg.model.align_corners,
+                mean=self.cfg.dataset.mean, std=self.cfg.dataset.std),
                 donate_argnums=(0,)))
         return getattr(self, key)
 
@@ -443,7 +445,8 @@ def evaluate_only(cfg: Config, logdir: str = "logs",
         is_mscale=infer_mscale(cfg),
         ignore_label=cfg.dataset.ignore_label,
         criterion=val_criterion,
-        pad_multiple=cfg.eval.pad_multiple)
+        pad_multiple=cfg.eval.pad_multiple,
+        mean=cfg.dataset.mean, std=cfg.dataset.std)
 
     has_labels = eval_mode != "folder" and \
         not cfg.eval.dump_for_auto_labelling and \

@@ -13,7 +13,8 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from tpuseg.ops import scale_as
+from tpuseg.ops import device_label, device_normalize, scale_as
+from tpuseg.ops.normalize import IMAGENET_MEAN, IMAGENET_STD
 
 
 def make_loss_fn(
@@ -23,6 +24,8 @@ def make_loss_fn(
     aux_rmi: bool = False,
     supervised_mscale_wt: float = 0.0,
     align_corners: bool = False,
+    mean=IMAGENET_MEAN,
+    std=IMAGENET_STD,
 ):
     """Train-mode forward + loss composition
     (reference: ocrnet.py:300-319) as a pure function of
@@ -33,11 +36,14 @@ def make_loss_fn(
     against the torch reference's train step."""
 
     def loss_fn(params, batch_stats, batch, rng):
+        # uint8 transfer path: raw pixels over the wire, exact ImageNet
+        # normalization on device (no-op for float32 batches); relaxed
+        # float label tensors pass device_label untouched
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["image"], train=True,
+            device_normalize(batch["image"], mean, std), train=True,
             mutable=["batch_stats"], rngs={"dropout": rng})
-        labels = batch["label"]
+        labels = device_label(batch["label"])
         loss = criterion(out["pred"], labels, do_rmi=True)
         # aux loss exists only for OCR-family models (reference:
         # ocrnet.py:118,300-311); DeepV3/mscale return {'pred'} only
@@ -61,11 +67,13 @@ def make_train_step(
     aux_rmi: bool = False,
     supervised_mscale_wt: float = 0.0,
     align_corners: bool = False,
+    mean=IMAGENET_MEAN,
+    std=IMAGENET_STD,
 ):
     """Build the fused two-scale training step
     (loss composition per reference: ocrnet.py:300-319)."""
     loss_fn = make_loss_fn(model, criterion, ocr_alpha, aux_rmi,
-                           supervised_mscale_wt, align_corners)
+                           supervised_mscale_wt, align_corners, mean, std)
 
     def train_step(state, batch, dropout_rng):
         rng = jax.random.fold_in(dropout_rng, state.step)
@@ -87,9 +95,9 @@ def make_eval_step(model, num_classes: int):
     def eval_step(state, batch):
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch["image"], train=False)
+            device_normalize(batch["image"]), train=False)
         pred = jnp.argmax(out["pred"], axis=-1).astype(jnp.int32)
-        hist = fast_hist_jax(pred, batch["label"], num_classes)
+        hist = fast_hist_jax(pred, device_label(batch["label"]), num_classes)
         return pred, hist
 
     return eval_step
