@@ -259,3 +259,85 @@ def test_dump_augmentation_images(fake_cityscapes, tmp_path, monkeypatch):
     files = list(out.iterdir())
     assert any(f.name.endswith("_mask.png") for f in files)
     assert any(f.name.endswith("_mask_raw.png") for f in files)
+
+
+def test_device_normalize_bitwise():
+    """uint8 wire: on-device normalization of raw bytes is bit-identical
+    to the host path (the claim pinned by tpuseg/ops/normalize.py —
+    same input bits, same f32 op sequence)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.data.transforms import to_normalized_array, to_uint8_array
+    from tpuseg.ops import device_label, device_normalize
+
+    img = Image.fromarray(np.random.RandomState(7).randint(
+        0, 256, (33, 47, 3), dtype=np.uint8))
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    host = to_normalized_array(img, mean, std)
+    dev = np.asarray(device_normalize(
+        jnp.asarray(to_uint8_array(img)), mean, std))
+    assert host.dtype == dev.dtype == np.float32
+    np.testing.assert_array_equal(host, dev)  # bitwise
+
+    # ... and UNDER JIT: XLA fast-math re-rounds re-derived arithmetic
+    # (measured ~260 ulp), which is why device_normalize gathers from a
+    # host-computed constant table instead of recomputing (x/255-m)/s
+    jdev = np.asarray(jax.jit(
+        lambda x: device_normalize(x, mean, std))(
+            jnp.asarray(to_uint8_array(img))))
+    np.testing.assert_array_equal(host, jdev)
+
+    # float batches pass through untouched (host-normalized loaders)
+    x = jnp.asarray(host)
+    assert device_normalize(x, mean, std) is x
+    # uint8 labels cast to the int32 the loss/metric ops expect
+    lab = np.random.RandomState(1).randint(0, 256, (33, 47)).astype(np.uint8)
+    out = device_label(jnp.asarray(lab))
+    assert out.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(out), lab)
+
+
+def test_transfer_uint8_pipeline(fake_cityscapes, tmp_path):
+    """dataset.transfer_uint8 end to end: train AND val loaders ship raw
+    uint8 pixels + uint8 labels (1 B/px each vs 12+4 B/px on the f32
+    wire), and the device-side normalize/cast reproduces the float-wire
+    batch bitwise. Same (seed, epoch, index) => identical augmentations,
+    so the two wire formats are comparable sample for sample."""
+    import jax.numpy as jnp
+
+    from tpuseg.ops import device_label, device_normalize
+
+    cfg8 = _cfg(fake_cityscapes, str(tmp_path),
+                **{"dataset.transfer_uint8": True})
+    cfgf = _cfg(fake_cityscapes, str(tmp_path))
+    tl8, vl8, _ = setup_data(cfg8)
+    tlf, vlf, _ = setup_data(cfgf)
+
+    b8, bf = next(iter(tl8)), next(iter(tlf))
+    assert b8["image"].dtype == np.uint8
+    # the train label wire engages too (round-4 gap: labels stayed int32)
+    assert b8["label"].dtype == np.uint8
+    norm = np.asarray(device_normalize(
+        jnp.asarray(b8["image"]), cfg8.dataset.mean, cfg8.dataset.std))
+    np.testing.assert_array_equal(norm, bf["image"])
+    np.testing.assert_array_equal(
+        np.asarray(device_label(jnp.asarray(b8["label"]))), bf["label"])
+
+    v8, vf = next(iter(vl8)), next(iter(vlf))
+    assert v8["image"].dtype == np.uint8 and v8["label"].dtype == np.uint8
+    np.testing.assert_array_equal(
+        np.asarray(device_normalize(
+            jnp.asarray(v8["image"]), cfg8.dataset.mean, cfg8.dataset.std)),
+        vf["image"])
+    np.testing.assert_array_equal(v8["label"].astype(np.int32), vf["label"])
+
+    # relaxed-label training keeps its multi-hot label tensor even on the
+    # uint8 wire (only the image rides the byte path)
+    cfgr = _cfg(fake_cityscapes, str(tmp_path),
+                **{"dataset.transfer_uint8": True,
+                   "dataset.jointwtborder": True})
+    tlr, _, _ = setup_data(cfgr)
+    br = next(iter(tlr))
+    assert br["image"].dtype == np.uint8
+    assert br["label"].ndim == 4  # (B, H, W, C+1) relaxed multi-hot

@@ -755,3 +755,47 @@ def test_preemption_checkpoint_and_resume_bitwise(tmp_path, monkeypatch):
     assert len(got) == len(want)
     for w, g in zip(want, got):
         np.testing.assert_array_equal(w, g)
+
+
+def test_transfer_uint8_wire_bitwise_engine(fake_cityscapes, tmp_path):
+    """The uint8 wire is a pure transport change: evaluate_only and a full
+    Trainer.fit produce bitwise-identical metrics on either wire format
+    (device_normalize reproduces host normalization exactly, and the
+    (seed, epoch, index)-keyed augmentations are wire-independent). Also
+    guards the dumper's raw-uint8 input handling: the dumped _input.png
+    must be the actual pixels, not a de-normalized garbage image."""
+    from tpuseg.train.loop import Trainer, evaluate_only
+
+    base = engine_cfg(fake_cityscapes, str(tmp_path))
+    cfg8 = base.replace(dataset=dataclasses.replace(
+        base.dataset, transfer_uint8=True))
+
+    mf = evaluate_only(base, logdir=str(tmp_path / "wf"))
+    cfg8_dump = cfg8.replace(eval=dataclasses.replace(
+        cfg8.eval, dump_all_images=True))
+    m8 = evaluate_only(cfg8_dump, logdir=str(tmp_path / "w8"))
+    assert mf.mean_iou == m8.mean_iou
+    np.testing.assert_array_equal(np.asarray(mf.iou), np.asarray(m8.iou))
+
+    # dumped input == raw source pixels (val pipeline has no aug/resize)
+    dump_dir = os.path.join(str(tmp_path / "w8"), "eval_images")
+    name = next(f for f in sorted(os.listdir(dump_dir))
+                if f.endswith("_input.png"))
+    dumped = np.asarray(Image.open(os.path.join(dump_dir, name)))
+    src = os.path.join(
+        fake_cityscapes, "leftImg8bit_trainvaltest/leftImg8bit/val/lindau",
+        name.replace("_input.png", ".png"))
+    np.testing.assert_array_equal(dumped, np.asarray(Image.open(src)))
+
+    # full fit: identical train-loss trajectory on either wire
+    t_f = Trainer(base, logdir=str(tmp_path / "tf"))
+    t_f.fit()
+    t_8 = Trainer(cfg8, logdir=str(tmp_path / "t8"))
+    t_8.fit()
+    lines_f = [json.loads(l) for l in
+               open(os.path.join(str(tmp_path / "tf"), "metrics.jsonl"))]
+    lines_8 = [json.loads(l) for l in
+               open(os.path.join(str(tmp_path / "t8"), "metrics.jsonl"))]
+    tr_f = [l["loss"] for l in lines_f if l["phase"] == "train"]
+    tr_8 = [l["loss"] for l in lines_8 if l["phase"] == "train"]
+    assert tr_f == tr_8 and len(tr_f) >= 2

@@ -64,25 +64,36 @@ def main():
         "image": rng.randn(1, H, W, 3).astype(np.float32),
         "label": rng.randint(0, 19, (1, H, W)).astype(np.int32),
     }
+    # uint8 wire (dataset.transfer_uint8): same pixels as raw bytes —
+    # 6+2 MB over the relay instead of 24+8 MB, normalize/cast on device
+    batch8 = {
+        "image": rng.randint(0, 256, (1, H, W, 3)).astype(np.uint8),
+        "label": batch["label"].astype(np.uint8),
+    }
 
-    # warmup: compile + steady state for all modes
+    # warmup: compile + steady state for all modes (uint8 compiles its
+    # own graph: the normalize prologue is fused into the forward)
     runner.run_batch(variables, batch, need_assets=False)
     for r in (runner, runner_nodonate):
-        acc = r.init_acc()
-        _, acc = r.run_batch(variables, batch, need_assets=False, acc=acc)
-        r.drain(acc)
+        for b in (batch, batch8):
+            acc = r.init_acc()
+            _, acc = r.run_batch(variables, b, need_assets=False, acc=acc)
+            r.drain(acc)
     # h2d warmup: a jitted reduction forced to a scalar readback
     upload_probe = jax.jit(lambda x: x.sum())
     float(upload_probe(jnp.asarray(batch["image"])))
+    float(upload_probe(jnp.asarray(batch8["image"])))
 
     results = {}
-    # raw input-upload cost: fresh 24 MB H2D + tiny reduction + readback.
+    # raw input-upload cost: fresh H2D + tiny reduction + readback.
     # If this dominates the legacy iteration, hiding the hist readback
     # can't help — the loop is upload-bound through the relay.
-    t0 = time.perf_counter()
-    for _ in range(args.images):
-        float(upload_probe(jnp.asarray(batch["image"])))
-    results["h2d_upload_only"] = time.perf_counter() - t0
+    for name, img in (("h2d_upload_only", batch["image"]),
+                      ("h2d_upload_only_uint8", batch8["image"])):
+        t0 = time.perf_counter()
+        for _ in range(args.images):
+            float(upload_probe(jnp.asarray(img)))
+        results[name] = time.perf_counter() - t0
 
     # legacy: one sync per image
     t0 = time.perf_counter()
@@ -92,14 +103,16 @@ def main():
 
     # pipelined: drain every DRAIN_EVERY batches (+ final), as the real
     # validate loop does; donation on/off isolates whether acc aliasing
-    # through the relay serializes dispatch
-    for name, r in (("pipelined", runner),
-                    ("pipelined_nodonate", runner_nodonate)):
+    # through the relay serializes dispatch; _uint8 is the production
+    # recipe default (dataset.transfer_uint8)
+    for name, r, b in (("pipelined", runner, batch),
+                       ("pipelined_uint8", runner, batch8),
+                       ("pipelined_nodonate", runner_nodonate, batch)):
         t0 = time.perf_counter()
         acc = r.init_acc()
         hist = 0.0
         for i in range(args.images):
-            _, acc = r.run_batch(variables, batch, need_assets=False,
+            _, acc = r.run_batch(variables, b, need_assets=False,
                                  acc=acc)
             if (i + 1) % DRAIN_EVERY == 0:
                 h, _, _, _ = r.drain(acc)
@@ -124,6 +137,11 @@ def main():
     print(json.dumps({
         "metric": "eval_loop_pipelining_speedup",
         "value": round(results["per_image_sync"] / results["pipelined"], 3),
+        "unit": "x",
+    }), flush=True)
+    print(json.dumps({
+        "metric": "eval_loop_uint8_wire_speedup",
+        "value": round(results["pipelined"] / results["pipelined_uint8"], 3),
         "unit": "x",
     }), flush=True)
 

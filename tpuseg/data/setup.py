@@ -170,6 +170,10 @@ def setup_data(cfg: Config, eval_mode: Optional[str] = None,
 
     if d.jointwtborder:
         label_transform = relaxed_label_transform(cfg, ignore_label)
+    elif d.transfer_uint8:
+        # engage BaseDataset's uint8 label wire (labels ship as 1 B/px
+        # instead of int32's 4 B/px — more bytes than the image itself)
+        label_transform = None
     else:
         label_transform = mask_to_array
 

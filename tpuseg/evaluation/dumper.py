@@ -19,7 +19,12 @@ def _colorize(mask: np.ndarray, palette: Optional[np.ndarray]) -> Image.Image:
 
 
 def _denormalize(image: np.ndarray, mean, std) -> Image.Image:
-    arr = image * np.asarray(std, np.float32) + np.asarray(mean, np.float32)
+    arr = np.asarray(image)
+    if np.issubdtype(arr.dtype, np.integer):
+        # uint8 wire format (dataset.transfer_uint8): the loader batch
+        # carries raw pixels — no host normalization to undo
+        return Image.fromarray(arr.astype(np.uint8))
+    arr = arr * np.asarray(std, np.float32) + np.asarray(mean, np.float32)
     return Image.fromarray(np.clip(arr * 255.0, 0, 255).astype(np.uint8))
 
 

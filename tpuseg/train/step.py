@@ -86,7 +86,8 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(model, num_classes: int):
+def make_eval_step(model, num_classes: int,
+                   mean=IMAGENET_MEAN, std=IMAGENET_STD):
     """Eval step: n-scale fused forward -> argmax -> on-device confusion
     matrix (replaces eval_minibatch's host softmax/argmax + NCCL hist
     allreduce, reference: utils/trnval_utils.py:170-198, misc.py:110-114)."""
@@ -95,7 +96,7 @@ def make_eval_step(model, num_classes: int):
     def eval_step(state, batch):
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            device_normalize(batch["image"]), train=False)
+            device_normalize(batch["image"], mean, std), train=False)
         pred = jnp.argmax(out["pred"], axis=-1).astype(jnp.int32)
         hist = fast_hist_jax(pred, device_label(batch["label"]), num_classes)
         return pred, hist
