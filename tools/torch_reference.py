@@ -378,6 +378,203 @@ def train_dump(args):
           f"loss={loss.item():.6f}")
 
 
+def _install_val_loop_stubs():
+    """Extra stand-ins the reference DATA path needs (beyond install_stubs):
+
+    - ``skimage``: imported at module scope by transforms/transforms.py:36-44
+      (gaussian blur / bilateral / boundaries) — none of it runs in the val
+      pipeline, so empty callables are exact;
+    - real ``torchvision.transforms`` stand-ins for the TWO transforms the
+      reference val input pipeline composes (datasets/__init__.py:110-113):
+      ToTensor (PIL -> CHW f32 / 255) and Normalize ((x - mean) / std, f32)
+      — implemented to torchvision's documented semantics, the identical
+      f32 op sequence as tpuseg.data.transforms.to_normalized_array;
+    - CPU shims: the val loop hardcodes ``.cuda()`` moves
+      (trnval_utils.py:131,165) — identity on the CPU-only torch here.
+    """
+    import sys
+    import types
+
+    import numpy as np
+    import torch
+
+    if "skimage" not in sys.modules:
+        sk = types.ModuleType("skimage")
+        for sub, names in (("filters", ["gaussian"]),
+                           ("restoration", ["denoise_bilateral"]),
+                           ("segmentation", ["find_boundaries"])):
+            m = types.ModuleType(f"skimage.{sub}")
+            for n in names:
+                setattr(m, n, lambda *a, **k: None)
+            setattr(sk, sub, m)
+            sys.modules[f"skimage.{sub}"] = m
+        sys.modules["skimage"] = sk
+
+    tr = sys.modules["torchvision.transforms"]
+
+    class Compose:
+        def __init__(self, ts):
+            self.ts = ts
+
+        def __call__(self, x):
+            for t in self.ts:
+                x = t(x)
+            return x
+
+    class ToTensor:
+        def __call__(self, pil):
+            arr = np.asarray(pil, np.uint8)
+            t = torch.from_numpy(arr).permute(2, 0, 1).contiguous()
+            return t.float().div(255.0)
+
+    class Normalize:
+        def __init__(self, mean, std):
+            self.mean = torch.tensor(mean, dtype=torch.float32)[:, None, None]
+            self.std = torch.tensor(std, dtype=torch.float32)[:, None, None]
+
+        def __call__(self, t):
+            return (t - self.mean) / self.std
+
+    tr.Compose, tr.ToTensor, tr.Normalize = Compose, ToTensor, Normalize
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+
+
+def val_dump(args):
+    """Drive the reference's ACTUAL composed val loop over a miniature
+    cityscapes tree and dump the accumulated confusion matrix.
+
+    This is ``validate()`` (train.py:536-597) minus the ImageDumper and
+    checkpoint bookkeeping — i.e. exactly its metric composition: the
+    reference's own val Loader (datasets/cityscapes.py:105-168 +
+    base_loader.py:189-231, ToTensor+Normalize input path,
+    datasets/__init__.py:110-156) -> the REAL ``eval_minibatch``
+    (trnval_utils.py:82-198: outer flip x avgpool-scale loop, in-model
+    mscale forward per pass, pre-softmax averaging, softmax -> argmax on
+    host) -> ``iou_acc += fast_hist`` (misc.py:50-75) ->
+    ``calculate_iou`` (misc.py:78-99). tpuseg's ``evaluate_only`` must
+    reproduce the summed hist from converted weights
+    (tests/test_val_loop_oracle.py)."""
+    import numpy as np
+    import torch
+
+    cfg = reference_cfg(args.num_classes)
+    if args.tiny:
+        _shrink_to_tiny(cfg)
+    _install_val_loop_stubs()
+    cfg.DATASET.NAME = "cityscapes"
+    cfg.DATASET.CITYSCAPES_DIR = args.data_root
+    cfg.DATASET.CV = 0
+    cfg.DATASET.CV_SPLITS = 3  # assert_and_infer_cfg default, config.py:264
+    cfg.DATASET.CLASS_UNIFORM_PCT = 0.0  # val never samples centroids
+    # assert_and_infer_cfg sets this from the arch name (config.py:269);
+    # eval_minibatch branches on it for per-scale asset naming
+    cfg.MODEL.MSCALE = "mscale" in args.arch.lower()
+
+    _neuter_pretrained_loads()
+    torch.manual_seed(args.seed)
+    import importlib
+
+    mod_name, fn_name = args.arch.split(".")
+    mod = importlib.import_module(f"network.{mod_name}")
+    net = getattr(mod, fn_name)(args.num_classes, criterion=None)
+    randomize_bn(net, args.seed)
+    # at the reference's own 0.001-std init the argmax is one constant
+    # class (final-bias dominated) — useless as a composition oracle;
+    # kaiming-conditioned convs (same treatment as eval_grad_dump) give
+    # spatially-varying predictions so flip/scale/softmax composition
+    # mutations actually move the confusion matrix
+    randomize_convs(net, args.seed)
+    zero_dropout(net)
+    net.eval()
+
+    import torchvision.transforms as standard_transforms
+    from torch.utils.data import DataLoader
+
+    import datasets.cityscapes_labels as cityscapes_labels
+    from datasets.cityscapes import Loader
+
+    # numpy 2.x shim: the license-plate row (id -1 -> trainid -1,
+    # cityscapes_labels.py) is a no-op on uint8 masks (-1 never matches a
+    # byte), but numpy 2 raises on the out-of-bounds -1 assignment that
+    # old numpy silently wrapped (base_loader.py:183). Dropping the
+    # negative-id row is semantically identical.
+    cityscapes_labels.label2trainid = {
+        k: v for k, v in cityscapes_labels.label2trainid.items() if k >= 0}
+    from loss.utils import CrossEntropyLoss2d
+    from utils.misc import AverageMeter, calculate_iou
+    from utils.trnval_utils import eval_minibatch
+
+    # the exact val input pipeline of setup_loaders
+    # (datasets/__init__.py:110-156): no joint transforms, ToTensor +
+    # Normalize(ImageNet), MaskToTensor-equivalent label path
+    val_input_transform = standard_transforms.Compose([
+        standard_transforms.ToTensor(),
+        standard_transforms.Normalize(cfg.DATASET.MEAN, cfg.DATASET.STD),
+    ])
+    # transforms/transforms.py MaskToTensor: PIL -> int64 tensor
+    label_transform = lambda m: torch.from_numpy(  # noqa: E731
+        np.array(m, np.int32)).long()
+    val_set = Loader(mode="val", joint_transform_list=None,
+                     img_transform=val_input_transform,
+                     label_transform=label_transform)
+    val_loader = DataLoader(val_set, batch_size=1, num_workers=0,
+                            shuffle=False, drop_last=False)
+
+    # the eval knobs eval_minibatch consumes (train.py flag surface)
+    margs = argparse.Namespace(
+        default_scale=1.0,
+        multi_scale_inference=bool(args.extra_scales),
+        extra_scales=args.extra_scales,
+        do_flip=args.do_flip,
+    )
+    criterion = CrossEntropyLoss2d(ignore_index=cfg.DATASET.IGNORE_LABEL)
+
+    # calibrate BN running stats on the actual val images (one cumulative
+    # train-mode pass): with RANDOM running stats every deep activation is
+    # dominated by a per-channel constant offset and the argmax collapses
+    # to a single class network-wide — useless as a composition oracle.
+    # True batch statistics re-center each BN, so predictions vary
+    # spatially. Affine weight/bias keep their randomized values (the
+    # converter-sensitivity property of randomize_bn), and the calibrated
+    # stats are dumped in state_dict.npz like any trained checkpoint's.
+    for m in net.modules():
+        if isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+            m.momentum = None
+            m.reset_running_stats()
+            m.train()
+    with torch.no_grad():
+        for data in val_loader:
+            net({"images": data[0]})
+    net.eval()
+
+    val_loss = AverageMeter()
+    iou_acc = 0
+    preds, names = [], []
+    with torch.no_grad():
+        for val_idx, data in enumerate(val_loader):
+            assets, _iou_acc = eval_minibatch(
+                data, net, criterion, val_loss, True, margs, val_idx)
+            iou_acc += _iou_acc  # the validate() accumulation, train.py:573
+            preds.append(assets["predictions"][0])
+            names.append(data[2][0])
+
+    iu, acc, acc_cls = calculate_iou(iou_acc)
+    os.makedirs(args.out, exist_ok=True)
+    np.savez(os.path.join(args.out, "state_dict.npz"),
+             **state_dict_numpy(net))
+    np.savez(os.path.join(args.out, "val_oracle.npz"),
+             iou_acc=np.asarray(iou_acc, np.int64),
+             iu=iu, acc=acc, acc_cls=acc_cls,
+             mean_iu=np.nanmean(iu),
+             val_loss=val_loss.avg,
+             preds=np.stack(preds),
+             names=np.asarray(names))
+    print(f"dumped composed val loop ({len(names)} images, "
+          f"flip={args.do_flip}, extra_scales={args.extra_scales!r}) "
+          f"to {args.out}: mean_iu={np.nanmean(iu):.6f}")
+
+
 def eval_grad_dump(args):
     """Dump an EVAL-mode n-scale backward: the W48-scale gradient oracle.
 
@@ -439,6 +636,16 @@ def main():
     ap.add_argument("--train-dump", action="store_true",
                     help="dump a TRAIN step (fwd+bwd): loss, gradients, "
                          "post-forward BN running stats")
+    ap.add_argument("--val-dump", action="store_true",
+                    help="drive the reference's composed val loop "
+                         "(validate + eval_minibatch) over --data-root and "
+                         "dump the accumulated confusion matrix")
+    ap.add_argument("--data-root", default=None,
+                    help="miniature cityscapes tree for --val-dump")
+    ap.add_argument("--do-flip", action="store_true")
+    ap.add_argument("--extra-scales", default="",
+                    help="comma list for --val-dump outer avgpool scales, "
+                         "e.g. '0.5,2.0' (empty = single-scale)")
     ap.add_argument("--eval-grad-dump", action="store_true",
                     help="dump an EVAL-mode nscale backward (the W48-depth "
                          "gradient oracle; see eval_grad_dump)")
@@ -452,6 +659,11 @@ def main():
 
     import numpy as np
     import torch
+
+    if args.val_dump:
+        assert args.data_root, "--val-dump needs --data-root"
+        val_dump(args)
+        return
 
     if args.train_dump:
         train_dump(args)
