@@ -231,11 +231,14 @@ class EvalRunner:
         legacy = acc is None
         if legacy:
             acc = self.init_acc()
-        image = np.asarray(batch["image"])
-        label = np.asarray(batch["label"])
+        image, label = batch["image"], batch["label"]
         orig_hw = None
         if self.pad_multiple:
-            image, label, orig_hw = self._pad(image, label)
+            # padding is a host-side op: materialize numpy only here —
+            # callers may hand in already-device_put arrays (prefetch),
+            # and an unconditional np.asarray would drag them back D2H
+            image, label, orig_hw = self._pad(np.asarray(image),
+                                              np.asarray(label))
         image = jnp.asarray(image)
         label = jnp.asarray(label)
         output, pred, prob, assets, acc = self.forward(
