@@ -33,9 +33,18 @@ H, W = 1024, 2048
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=16)
-    ap.add_argument("--scales", default="1.0")
+    ap.add_argument("--scales", default="1.0",
+                    help="IN-MODEL n_scales (the recipe's eval.scales, "
+                         "fused by nscale_forward in one graph)")
+    ap.add_argument("--outer-scales", default="1.0",
+                    help="the runner's outer avgpool-scale loop "
+                         "(eval.default_scale + eval.extra_scales; the "
+                         "production cityscapes recipe runs only 1.0 — "
+                         "the reference's extra_scales path re-runs the "
+                         "whole in-model graph per outer scale)")
     args = ap.parse_args()
     scales = tuple(float(s) for s in args.scales.split(","))
+    outer_scales = tuple(float(s) for s in args.outer_scales.split(","))
 
     from tpuseg.config import make_config
     from tpuseg.evaluation.inference import DRAIN_EVERY, EvalRunner
@@ -54,10 +63,10 @@ def main():
     variables = jax.jit(lambda k, xi: model.init(k, xi, train=False))(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3), jnp.bfloat16))
 
-    runner = EvalRunner(model, cfg.dataset.num_classes, scales=scales,
+    runner = EvalRunner(model, cfg.dataset.num_classes, scales=outer_scales,
                         is_mscale=True, criterion=val_criterion)
     runner_nodonate = EvalRunner(model, cfg.dataset.num_classes,
-                                 scales=scales, is_mscale=True,
+                                 scales=outer_scales, is_mscale=True,
                                  criterion=val_criterion, donate_acc=False)
     rng = np.random.RandomState(0)
     batch = {
@@ -144,6 +153,7 @@ def main():
             "value": round(dt / args.images * 1e3, 1),
             "unit": "ms/image",
             "scales": list(scales),
+            "outer_scales": list(outer_scales),
             "resolution": f"{H}x{W}",
             "images_timed": args.images,
             "drain_every": DRAIN_EVERY,
