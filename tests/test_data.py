@@ -341,3 +341,84 @@ def test_transfer_uint8_pipeline(fake_cityscapes, tmp_path):
     br = next(iter(tlr))
     assert br["image"].dtype == np.uint8
     assert br["label"].ndim == 4  # (B, H, W, C+1) relaxed multi-hot
+
+
+def test_device_normalize_non_uint8_integer():
+    """Contract guard: only uint8 rides the table gather (jnp.take clips,
+    so out-of-range values in a wider dtype would alias into a
+    NEIGHBORING channel's table segment) — non-uint8 integers take the
+    plain arithmetic path and normalize correctly for ANY value."""
+    import jax.numpy as jnp
+
+    from tpuseg.ops import device_normalize
+
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    # values far outside 0..255, incl. negatives
+    img = np.asarray([[[-40, 300, 70]]], np.int32)
+    got = np.asarray(device_normalize(jnp.asarray(img), mean, std))
+    want = ((img.astype(np.float32) / np.float32(255.0)
+             - np.asarray(mean, np.float32))
+            / np.asarray(std, np.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # the in-range byte path stays bitwise vs the LUT
+    img8 = np.asarray([[[0, 128, 255]]], np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(device_normalize(jnp.asarray(img8), mean, std)),
+        np.asarray(device_normalize(jnp.asarray(img8.astype(np.int32)),
+                                    mean, std)))
+
+
+def test_padded_eval_bitwise_across_wires():
+    """pad_multiple x transfer_uint8 (the eval_mapillary.yaml combination):
+    EvalRunner's shape-bucketing zero-pad must not make the two wire
+    formats diverge. A raw uint8 zero-pad normalizes to ~-2.1 sigma black
+    while the f32 wire's zero-pad IS normalized-space 0.0 — the jitted
+    forward therefore masks the padded border to 0.0 after on-device
+    normalization (make_eval_forward ``valid_hw``), making padded batches
+    bitwise-identical across wires. The probe model spatially mixes a
+    5x5 neighborhood, so border content bleeds into valid pixels and a
+    wire-dependent pad value WOULD move predictions and max-softmax."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuseg.evaluation.inference import EvalRunner
+    from tpuseg.ops import device_normalize
+
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    rng = np.random.RandomState(11)
+    raw = rng.randint(0, 256, (1, 12, 20, 3)).astype(np.uint8)
+    lab = rng.randint(0, 7, (1, 12, 20))
+    host = ((raw.astype(np.float32) / 255.0 - np.asarray(mean, np.float32))
+            / np.asarray(std, np.float32))
+    # the hazard this test pins: zero-padded raw bytes do NOT normalize
+    # to the f32 wire's zero-padded border
+    np.testing.assert_raises(
+        AssertionError, np.testing.assert_array_equal,
+        np.asarray(device_normalize(
+            jnp.asarray(np.pad(raw, ((0, 0), (0, 4), (0, 4), (0, 0)))),
+            mean, std)),
+        np.pad(host, ((0, 0), (0, 4), (0, 4), (0, 0))))
+
+    ker = jnp.asarray(rng.randn(5, 5, 3, 7).astype(np.float32))
+
+    class _BoxMix:
+        def apply(self, variables, x, train=False):
+            y = jax.lax.conv_general_dilated(
+                x.astype(jnp.float32), ker, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return {"pred": y}
+
+    outs = {}
+    for wire, img, label in (("f32", host, lab.astype(np.int32)),
+                             ("u8", raw, lab.astype(np.uint8))):
+        runner = EvalRunner(_BoxMix(), 7, scales=(1.0,), is_mscale=True,
+                            pad_multiple=8, mean=mean, std=std)
+        out, hist, _ = runner.run_batch({}, {"image": img, "label": label})
+        outs[wire] = (out, hist)
+    np.testing.assert_array_equal(outs["f32"][0]["predictions"],
+                                  outs["u8"][0]["predictions"])
+    # max-softmax agreement pins the LOGITS across wires, not just argmax
+    np.testing.assert_array_equal(outs["f32"][0]["prob_mask"],
+                                  outs["u8"][0]["prob_mask"])
+    np.testing.assert_array_equal(outs["f32"][1], outs["u8"][1])
+    assert outs["f32"][0]["predictions"].shape == (1, 12, 20)  # cropped

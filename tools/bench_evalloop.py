@@ -80,14 +80,17 @@ def main():
         "label": batch["label"].astype(np.uint8),
     }
 
-    # warmup: compile + steady state for all modes (uint8 compiles its
-    # own graph: the normalize prologue is fused into the forward)
+    # warmup: compile + steady state for exactly the (runner, wire)
+    # pairs the timed modes use — uint8 compiles its own graph (the
+    # normalize prologue is fused into the forward), and no uint8
+    # nodonate mode exists, so warming it would waste a multi-minute
+    # remote compile
     runner.run_batch(variables, batch, need_assets=False)
-    for r in (runner, runner_nodonate):
-        for b in (batch, batch8):
-            acc = r.init_acc()
-            _, acc = r.run_batch(variables, b, need_assets=False, acc=acc)
-            r.drain(acc)
+    for r, b in ((runner, batch), (runner, batch8),
+                 (runner_nodonate, batch)):
+        acc = r.init_acc()
+        _, acc = r.run_batch(variables, b, need_assets=False, acc=acc)
+        r.drain(acc)
     # h2d warmup: a jitted reduction forced to a scalar readback
     upload_probe = jax.jit(lambda x: x.sum())
     float(upload_probe(jnp.asarray(batch["image"])))

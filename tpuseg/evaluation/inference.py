@@ -60,8 +60,18 @@ def make_eval_forward(
 ):
     """Build the jitted full-eval forward.
 
-    Returns fn(variables, image, label, acc) ->
+    Returns fn(variables, image, label, acc, valid_hw=None) ->
       (avg_logits f32, pred int32, prob f32, asset_dict, acc').
+
+    ``valid_hw`` (int32 [2], optional) marks the un-padded region of a
+    shape-bucketed batch (EvalRunner ``pad_multiple``): after on-device
+    normalization the padded border is masked to 0.0 in NORMALIZED space
+    — exactly the value the f32 wire's host-side zero-pad carries — so
+    padded batches are bitwise-identical across wire formats (a raw
+    uint8 zero-pad would otherwise normalize to ~-2.1 sigma black and
+    shift predictions near the border through conv receptive fields).
+    For float inputs the mask is a bitwise no-op (valid x*1.0, pad
+    0.0*0.0); ``None`` (default) compiles no mask at all.
 
     ``acc`` is the device-resident metric accumulator (see
     ``EvalRunner.init_acc``): the confusion matrix, per-outer-scale
@@ -72,11 +82,16 @@ def make_eval_forward(
     host every image, utils/trnval_utils.py:170-198; the TPU-first loop
     drains a 19x19 int box every few batches instead)."""
 
-    def forward(variables, image, label, acc):
+    def forward(variables, image, label, acc, valid_hw=None):
         # uint8 transfer path: raw pixels over the wire, exact ImageNet
         # normalization on device (no-op for float32 batches)
         image = device_normalize(image, mean, std)
         label = device_label(label)
+        if valid_hw is not None:
+            hh = jax.lax.broadcasted_iota(jnp.int32, image.shape[1:3], 0)
+            ww = jax.lax.broadcasted_iota(jnp.int32, image.shape[1:3], 1)
+            pad_mask = ((hh < valid_hw[0]) & (ww < valid_hw[1]))
+            image = image * pad_mask[None, :, :, None].astype(image.dtype)
         input_size = image.shape[-3:-1]
         flips = (1, 0) if do_flip else (0,)
         output = 0.0
@@ -153,7 +168,11 @@ class EvalRunner:
     back — every image in a bucket shares one compiled graph instead of
     recompiling per exact shape (SURVEY §7 hard part #3). Padded label
     pixels are ignore, so the confusion matrix is exact; predictions can
-    shift slightly near the padded border (off by default).
+    shift slightly near the padded border (off by default). The padded
+    image border is masked on device to 0.0 in normalized space, so
+    padded batches are bitwise-identical across wire formats (see
+    ``make_eval_forward`` ``valid_hw``; pinned by
+    tests/test_data.py::test_padded_eval_bitwise_across_wires).
     """
 
     def __init__(self, model, num_classes: int, scales=(1.0,),
@@ -241,8 +260,13 @@ class EvalRunner:
                                               np.asarray(label))
         image = jnp.asarray(image)
         label = jnp.asarray(label)
-        output, pred, prob, assets, acc = self.forward(
-            variables, image, label, acc)
+        if orig_hw is None:
+            output, pred, prob, assets, acc = self.forward(
+                variables, image, label, acc)
+        else:
+            output, pred, prob, assets, acc = self.forward(
+                variables, image, label, acc,
+                jnp.asarray(orig_hw, jnp.int32))
         if orig_hw is not None:
             h, w = orig_hw
             pred = pred[:, :h, :w]

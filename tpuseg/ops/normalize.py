@@ -42,11 +42,23 @@ def _normalize_lut(mean: tuple, std: tuple) -> np.ndarray:
 
 
 def device_normalize(image, mean=IMAGENET_MEAN, std=IMAGENET_STD):
-    """Normalize a uint8 (or any integer) NHWC image on device; float
-    images are returned unchanged (already host-normalized). The dtype
-    gate resolves at trace time — zero cost in the float32 graph."""
+    """Normalize an integer NHWC image on device; float images are
+    returned unchanged (already host-normalized). The dtype gate resolves
+    at trace time — zero cost in the float32 graph.
+
+    Only uint8 (the wire format) rides the bit-exact table gather: the
+    gather index is ``channel*256 + byte`` and ``jnp.take`` clips, so a
+    wider integer dtype with values outside 0..255 would silently alias
+    into a NEIGHBORING channel's table segment. Non-uint8 integer inputs
+    therefore take the plain ``(x/255 - mean)/std`` arithmetic (correct
+    for any integer value, but subject to XLA's fast-math re-rounding —
+    not the bitwise path)."""
     if not jnp.issubdtype(image.dtype, jnp.integer):
         return image
+    if image.dtype != jnp.uint8:
+        x = image.astype(jnp.float32) / jnp.float32(255.0)
+        return ((x - jnp.asarray(mean, jnp.float32))
+                / jnp.asarray(std, jnp.float32))
     lut = _normalize_lut(tuple(float(m) for m in mean),
                          tuple(float(s) for s in std))
     c = image.shape[-1]
