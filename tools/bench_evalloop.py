@@ -42,9 +42,26 @@ def main():
                          "production cityscapes recipe runs only 1.0 — "
                          "the reference's extra_scales path re-runs the "
                          "whole in-model graph per outer scale)")
+    ap.add_argument("--height", type=int, default=1024,
+                    help="TRUE image height (pre-pad)")
+    ap.add_argument("--width", type=int, default=2048)
+    ap.add_argument("--classes", type=int, default=19)
+    ap.add_argument("--ignore", type=int, default=255)
+    ap.add_argument("--flip", action="store_true",
+                    help="outer horizontal-flip averaging (eval.do_flip)")
+    ap.add_argument("--pad-multiple", type=int, default=None,
+                    help="shape-bucket padding (eval.pad_multiple; the "
+                         "Mapillary recipe uses 64)")
+    ap.add_argument("--production-only", action="store_true",
+                    help="time only upload probes + pipelined f32/uint8 "
+                         "(skips the nodonate/per-image-sync graphs — "
+                         "each extra mode is a multi-minute remote "
+                         "compile at Mapillary shape)")
     args = ap.parse_args()
     scales = tuple(float(s) for s in args.scales.split(","))
     outer_scales = tuple(float(s) for s in args.outer_scales.split(","))
+    global H, W
+    H, W = args.height, args.width
 
     from tpuseg.config import make_config
     from tpuseg.evaluation.inference import DRAIN_EVERY, EvalRunner
@@ -56,22 +73,27 @@ def main():
         "model.n_scales": scales,
         "model.remat": False,
         "model.eval_fusion_dtype": "bfloat16",
-        "dataset.num_classes": 19,
+        "dataset.num_classes": args.classes,
+        "dataset.ignore_label": args.ignore,
     })
     model = get_model(cfg)
     _, val_criterion = get_loss(cfg)
     variables = jax.jit(lambda k, xi: model.init(k, xi, train=False))(
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3), jnp.bfloat16))
 
-    runner = EvalRunner(model, cfg.dataset.num_classes, scales=outer_scales,
-                        is_mscale=True, criterion=val_criterion)
+    kw = dict(scales=outer_scales, is_mscale=True, do_flip=args.flip,
+              criterion=val_criterion, ignore_label=args.ignore,
+              pad_multiple=args.pad_multiple)
+    runner = EvalRunner(model, cfg.dataset.num_classes, **kw)
     runner_nodonate = EvalRunner(model, cfg.dataset.num_classes,
-                                 scales=outer_scales, is_mscale=True,
-                                 criterion=val_criterion, donate_acc=False)
+                                 donate_acc=False, **kw)
     rng = np.random.RandomState(0)
+    # f32 wire pads NORMALIZED floats with 0.0; uint8 pads raw bytes and
+    # the jitted forward masks the border to normalized-0.0 (valid_hw) —
+    # benching the TRUE (pre-pad) size exercises that production path
     batch = {
         "image": rng.randn(1, H, W, 3).astype(np.float32),
-        "label": rng.randint(0, 19, (1, H, W)).astype(np.int32),
+        "label": rng.randint(0, args.classes, (1, H, W)).astype(np.int32),
     }
     # uint8 wire (dataset.transfer_uint8): same pixels as raw bytes —
     # 6+2 MB over the relay instead of 24+8 MB, normalize/cast on device
@@ -85,9 +107,11 @@ def main():
     # normalize prologue is fused into the forward), and no uint8
     # nodonate mode exists, so warming it would waste a multi-minute
     # remote compile
-    runner.run_batch(variables, batch, need_assets=False)
-    for r, b in ((runner, batch), (runner, batch8),
-                 (runner_nodonate, batch)):
+    warm_pairs = [(runner, batch), (runner, batch8)]
+    if not args.production_only:
+        runner.run_batch(variables, batch, need_assets=False)
+        warm_pairs.append((runner_nodonate, batch))
+    for r, b in warm_pairs:
         acc = r.init_acc()
         _, acc = r.run_batch(variables, b, need_assets=False, acc=acc)
         r.drain(acc)
@@ -108,10 +132,11 @@ def main():
         results[name] = time.perf_counter() - t0
 
     # legacy: one sync per image
-    t0 = time.perf_counter()
-    for _ in range(args.images):
-        runner.run_batch(variables, batch, need_assets=False)
-    results["per_image_sync"] = time.perf_counter() - t0
+    if not args.production_only:
+        t0 = time.perf_counter()
+        for _ in range(args.images):
+            runner.run_batch(variables, batch, need_assets=False)
+        results["per_image_sync"] = time.perf_counter() - t0
 
     # pipelined: drain every DRAIN_EVERY batches (+ final), as the real
     # validate loop does; donation on/off isolates whether acc aliasing
@@ -125,10 +150,12 @@ def main():
     def put(b):
         return {k: jax.device_put(v) for k, v in b.items()}
 
-    for name, r, b in (("pipelined", runner, batch),
-                       ("pipelined_uint8", runner, batch8),
-                       ("pipelined_uint8_prefetch", runner, batch8),
-                       ("pipelined_nodonate", runner_nodonate, batch)):
+    modes = [("pipelined", runner, batch),
+             ("pipelined_uint8", runner, batch8)]
+    if not args.production_only:
+        modes += [("pipelined_uint8_prefetch", runner, batch8),
+                  ("pipelined_nodonate", runner_nodonate, batch)]
+    for name, r, b in modes:
         prefetch = name.endswith("_prefetch")
         t0 = time.perf_counter()
         acc = r.init_acc()
@@ -157,15 +184,20 @@ def main():
             "unit": "ms/image",
             "scales": list(scales),
             "outer_scales": list(outer_scales),
+            "flip": args.flip,
+            "pad_multiple": args.pad_multiple,
+            "classes": args.classes,
             "resolution": f"{H}x{W}",
             "images_timed": args.images,
             "drain_every": DRAIN_EVERY,
         }), flush=True)
-    print(json.dumps({
-        "metric": "eval_loop_pipelining_speedup",
-        "value": round(results["per_image_sync"] / results["pipelined"], 3),
-        "unit": "x",
-    }), flush=True)
+    if "per_image_sync" in results:
+        print(json.dumps({
+            "metric": "eval_loop_pipelining_speedup",
+            "value": round(results["per_image_sync"]
+                           / results["pipelined"], 3),
+            "unit": "x",
+        }), flush=True)
     print(json.dumps({
         "metric": "eval_loop_uint8_wire_speedup",
         "value": round(results["pipelined"] / results["pipelined_uint8"], 3),
